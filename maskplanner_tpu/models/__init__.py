@@ -1,0 +1,152 @@
+"""Model factory and IO-shape computation.
+
+Reference contract: ``models/__init__.py`` — ``get_model(config, which,
+io_type)`` builds the backbone named by ``config.model.backbone`` with
+input/output sizes derived by ``get_io_info`` (reference
+models/__init__.py:220-383).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..data.pointcloud import get_dim_traj_points, get_dim_orient_traj_points
+from .maskplanner import (
+    MaskPlannerOutput,
+    PointNet2StrokeMasks,
+    PointNet2Regressor,
+    PointNet2SoPs,
+    PointNet2StrokeWise,
+)
+
+__all__ = [
+    "MaskPlannerOutput",
+    "PointNet2StrokeMasks",
+    "PointNet2Regressor",
+    "PointNet2SoPs",
+    "PointNet2StrokeWise",
+    "get_model",
+    "get_io_info",
+    "compute_out_vectors",
+]
+
+
+def compute_out_vectors(config) -> int:
+    """Number of predicted segments (reference models/__init__.py:307-311):
+    ``(n_points − λ) // (λ − overlap) + 1``."""
+    lam = config["lambda_points"]
+    overlap = config["overlapping"]
+    if config.get("traj_with_equally_spaced_points"):
+        n_points = config["n_pred_traj_points"]
+        assert n_points is not None, "n_pred_traj_points must be set"
+    else:
+        n_points = config["traj_points"]
+    if lam == 1:
+        return n_points
+    return (n_points - lam) // (lam - overlap) + 1
+
+
+def get_io_info(io_type: str, config) -> dict[str, Any]:
+    """Input/output sizing per task type (reference models/__init__.py:220-383)."""
+    outdim = get_dim_traj_points(config["extra_data"])
+    orient_outdim = get_dim_orient_traj_points(config["extra_data"])
+    lam = config["lambda_points"]
+
+    if io_type in ("paintnet", "MaskPlanner"):
+        info = {
+            "inputdim": 3,
+            "outdim": outdim,
+            "orient_outdim": orient_outdim,
+            "vector_outdim_transl": (outdim - orient_outdim) * lam,
+            "vector_outdim_orient": orient_outdim * lam,
+            "out_vectors": compute_out_vectors(config),
+        }
+        if io_type == "MaskPlanner":
+            info["n_stroke_masks"] = config["max_n_strokes"]
+        return info
+
+    if io_type == "StrokeWise":
+        return {
+            "inputdim": 3,
+            "outdim": outdim,
+            "orient_outdim": orient_outdim,
+            "vector_outdim_transl": (outdim - orient_outdim) * config["max_n_stroke_points"],
+            "vector_outdim_orient": orient_outdim * config["max_n_stroke_points"],
+            "out_vectors": config["max_n_strokes"],
+        }
+
+    if io_type == "multipathregression":
+        return {
+            "inputdim": 3,
+            "outdim": outdim,
+            "orient_outdim": orient_outdim,
+            "vector_outdim_transl": (outdim - orient_outdim) * config["stroke_points"],
+            "vector_outdim_orient": orient_outdim * config["stroke_points"],
+            "out_vectors": config["n_strokes"],
+        }
+
+    raise ValueError(f"unknown io_type: {io_type}")
+
+
+def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
+    """Build the Flax module named by ``which`` / ``config.model.backbone``.
+
+    Returns the (uninitialized) module; parameter init happens in the train
+    driver with an explicit PRNG key (functional style — the reference's
+    in-place pretrained loading (models/__init__.py:386-426) maps to
+    checkpoint-restore utilities in ``train.checkpoints``).
+    """
+    which = which or config["model"]["backbone"]
+    outdim = get_dim_traj_points(config["extra_data"])
+    orient_outdim = get_dim_orient_traj_points(config["extra_data"])
+    hidden = tuple(config["model"].get("hidden_size", (1024, 1024)))
+
+    if which == "pointnet2_strokemasks":
+        info = get_io_info("MaskPlanner", config)
+        return PointNet2StrokeMasks(
+            out_vectors=info["out_vectors"],
+            outdim=outdim - orient_outdim,
+            outdim_orient=orient_outdim,
+            weight_orient=config["weight_orient"],
+            lambda_points=config["lambda_points"],
+            hidden_size=hidden,
+            pred_stroke_masks=True,
+            n_stroke_masks=info["n_stroke_masks"],
+            mask_confidence_scores=True,
+            segment_confidence_scores=bool(config.get("per_segment_confidence")),
+        )
+
+    if which == "pointnet2":
+        info = get_io_info("paintnet", config)
+        return PointNet2Regressor(
+            out_vectors=info["out_vectors"],
+            outdim=outdim - orient_outdim,
+            outdim_orient=orient_outdim,
+            weight_orient=config["weight_orient"],
+            lambda_points=config["lambda_points"],
+            hidden_size=hidden,
+        )
+
+    if which == "pointnet2_sops":
+        return PointNet2SoPs(
+            out_vectors=config["out_prototypes"],
+            outdim=outdim - orient_outdim,
+            outdim_orient=orient_outdim,
+            weight_orient=config["weight_orient"],
+            token_length=config.get("start_of_path_token_length", 1),
+            hidden_size=hidden,
+            sop_confidence_scores=bool(config.get("sop_confidence_scores")),
+        )
+
+    if which == "pointnet2_strokewise":
+        return PointNet2StrokeWise(
+            n_strokes=config["max_n_strokes"],
+            stroke_points=config["max_n_stroke_points"],
+            outdim=outdim - orient_outdim,
+            outdim_orient=orient_outdim,
+            weight_orient=config["weight_orient"],
+            hidden_size=hidden,
+        )
+
+    raise ValueError(f"unknown backbone: {which}")

@@ -1,0 +1,183 @@
+"""PointNet++ (SSG) building blocks in Flax.
+
+TPU-native redesign of the reference primitives
+(``models/pointnet2_utils.py:171-329``): grouping indices come from the
+``ops`` layer (scan-FPS + top-k ball query), and the shared per-point MLPs
+are expressed as Dense layers over the channel axis so XLA lowers them to
+batched MXU matmuls fused with the BatchNorm/ReLU epilogue. Channel-last
+layout throughout (the reference permutes to channel-first for Conv2d; on
+TPU channel-last keeps the 128-lane axis dense).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.sampling import farthest_point_sample, query_ball_point, index_points, knn
+
+
+class PointMLP(nn.Module):
+    """Shared per-point MLP: Dense -> BatchNorm -> ReLU stack.
+
+    Equivalent to the reference's Conv2d(1x1)+BatchNorm2d+ReLU chains
+    (models/pointnet2_utils.py:176-216). BatchNorm statistics are computed
+    over all non-channel axes; under a sharded ``jit`` the batch axis is
+    global, which gives cross-replica batch stats for free (no SyncBN
+    machinery needed).
+    """
+
+    channels: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for c in self.channels:
+            x = nn.Dense(c, dtype=self.dtype)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                axis=-1,
+                dtype=jnp.float32,
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class SetAbstraction(nn.Module):
+    """PointNet++ set-abstraction level (single-scale grouping).
+
+    Reference: ``PointNetSetAbstraction`` (models/pointnet2_utils.py:171-216).
+    Input/output are channel-last: xyz (B, N, 3), features (B, N, D) or None.
+    """
+
+    npoint: int | None
+    radius: float | None
+    nsample: int | None
+    mlp: Sequence[int]
+    group_all: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool, fps_key=None):
+        B, N, _ = xyz.shape
+        if self.group_all:
+            # single global group (models/pointnet2_utils.py:152-168)
+            new_xyz = jnp.zeros((B, 1, 3), xyz.dtype)
+            grouped = xyz[:, None, :, :]  # (B, 1, N, 3)
+            if features is not None:
+                grouped = jnp.concatenate(
+                    [grouped, features[:, None, :, :]], axis=-1
+                )
+        else:
+            fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+            new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
+            group_idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+            grouped_xyz = index_points(xyz, group_idx)  # (B, S, K, 3)
+            grouped = grouped_xyz - new_xyz[:, :, None, :]
+            if features is not None:
+                grouped = jnp.concatenate(
+                    [grouped, index_points(features, group_idx)], axis=-1
+                )
+
+        feat = PointMLP(self.mlp, dtype=self.dtype)(grouped, train=train)
+        new_features = jnp.max(feat, axis=-2)  # max over neighbourhood K
+        return new_xyz, new_features
+
+
+class FeaturePropagation(nn.Module):
+    """Inverse-distance 3-NN feature upsampling.
+
+    Reference: ``PointNetFeaturePropagation``
+    (models/pointnet2_utils.py:279-329). Used by the segmentation variants.
+    """
+
+    mlp: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, feat1, feat2, train: bool):
+        B, N, _ = xyz1.shape
+        S = xyz2.shape[1]
+        if S == 1:
+            interpolated = jnp.broadcast_to(feat2, (B, N, feat2.shape[-1]))
+        else:
+            dists, idx = knn(3, xyz1, xyz2)
+            w = 1.0 / (dists + 1e-8)
+            w = w / w.sum(axis=-1, keepdims=True)
+            neighbors = index_points(feat2, idx)  # (B, N, 3, C)
+            interpolated = (neighbors * w[..., None]).sum(axis=-2)
+        x = (
+            jnp.concatenate([feat1, interpolated], axis=-1)
+            if feat1 is not None
+            else interpolated
+        )
+        return PointMLP(self.mlp, dtype=self.dtype)(x, train=train)
+
+
+class PointNet2Encoder(nn.Module):
+    """The shared SSG encoder: sa1 -> sa2 -> sa3(group_all) -> 1024-d global.
+
+    Layer sizes follow the reference backbone
+    (models/pointnet2_cls_ssg.py:266-268).
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, train: bool, fps_keys=None):
+        k1 = k2 = None
+        if fps_keys is not None:
+            k1, k2 = fps_keys
+        l1_xyz, l1_f = SetAbstraction(512, 0.2, 32, (64, 64, 128), dtype=self.dtype,
+                                      name="sa1")(xyz, None, train, fps_key=k1)
+        l2_xyz, l2_f = SetAbstraction(128, 0.4, 64, (128, 128, 256), dtype=self.dtype,
+                                      name="sa2")(l1_xyz, l1_f, train, fps_key=k2)
+        _, l3_f = SetAbstraction(None, None, None, (256, 512, 1024), group_all=True,
+                                 dtype=self.dtype, name="sa3")(l2_xyz, l2_f, train)
+        return l3_f[:, 0, :]  # (B, 1024)
+
+
+class RegressionHead(nn.Module):
+    """fc1 -> BN -> ReLU -> dropout -> fc2 -> BN -> ReLU -> dropout trunk.
+
+    Reference trunk of every regressor head
+    (models/pointnet2_cls_ssg.py:270-276, 297-343). ``use_bn=False``
+    reproduces heads that use plain ReLU (e.g. seg-confidence head,
+    models/pointnet2_cls_ssg.py:314-317).
+    """
+
+    hidden: Sequence[int] = (1024, 1024)
+    dropout: float = 0.3
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for h in self.hidden:
+            x = nn.Dense(h, dtype=self.dtype)(x)
+            if self.use_bn:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=jnp.float32)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+def assemble_pose_output(positions, normals, out_vectors: int, weight_orient: float):
+    """Interleave per-point positions and unit orientations into segments.
+
+    positions: (B, out_vectors*λ*3) raw head output
+    normals:   (B, out_vectors*λ*3) raw orientation head output (pre-tanh'd)
+    Returns (B, out_vectors, λ*6) with per-point [x,y,z,nx,ny,nz] layout —
+    reference models/pointnet2_cls_ssg.py:330-341.
+    """
+    B = positions.shape[0]
+    p = positions.reshape(B, -1, 3)
+    n = jnp.tanh(normals).reshape(B, -1, 3)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    n = n * weight_orient
+    out = jnp.concatenate([p, n], axis=-1)  # (B, out_vectors*λ, 6)
+    return out.reshape(B, out_vectors, -1)
