@@ -1,0 +1,103 @@
+"""Benchmark: flagship MaskPlanner model on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline: inference point-clouds/sec/chip on the windows-v2 flagship config
+(pc_points=5120, out_vectors=450, 22 stroke masks — reference
+configs/maskplanner/windows_v2.yaml). Also measures the full training-step
+time (forward + chamfer + Hungarian mask matching + backward + Adam) at
+batch 64. ``vs_baseline`` is 1.0 — the reference publishes no numeric
+baselines (BASELINE.md); numbers here are the measured record for this
+round.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from maskplanner_tpu.utils.args import load_args
+    from maskplanner_tpu.data.dataset import PaintDataset, DataLoader
+    from maskplanner_tpu.losses import LossHandler
+    from maskplanner_tpu.models import get_model
+    from maskplanner_tpu.parallel import make_mesh, replicate, shard_batch
+    from maskplanner_tpu.train import create_train_state, make_train_step
+    from maskplanner_tpu.train.trainer import make_forward
+
+    config = load_args(argv=[
+        "config=[maskplanner,windows_v2,longx_v2]",
+        "dataset_size=64",
+    ])
+    batch_size = int(config["batch_size"])
+
+    dataset = PaintDataset(config, split="train", size=batch_size)
+    loader = DataLoader(dataset, batch_size)
+    batch = next(iter(loader))
+
+    mesh = make_mesh()
+    model = get_model(config)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, config, rng,
+                               batch["point_cloud"][:1], steps_per_epoch=1)
+    state = replicate(state, mesh)
+    handler = LossHandler(config["loss"], config)
+    weights = handler.init_weights()
+    train_step = make_train_step(model, handler, config)
+    forward = make_forward(model)
+
+    device_batch = shard_batch(batch, mesh)
+
+    # ---- training step ----------------------------------------------------
+    state, loss, _ = train_step(state, device_batch, weights, rng)  # compile
+    jax.block_until_ready(loss)
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss, _ = train_step(state, device_batch, weights, rng)
+    jax.block_until_ready(loss)
+    step_ms = (time.perf_counter() - t0) / n_steps * 1000
+
+    # ---- inference --------------------------------------------------------
+    pc = device_batch["point_cloud"]
+    out = forward(state, pc)  # compile
+    jax.block_until_ready(out.traj)
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = forward(state, pc)
+    jax.block_until_ready(out.traj)
+    infer_s = (time.perf_counter() - t0) / n_iters
+    pcs_per_sec = batch_size / infer_s
+
+    # single-sample latency (reference test_maskplanner.py:253-257 metric)
+    one = pc[:1]
+    out = forward(state, one)
+    jax.block_until_ready(out.traj)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = forward(state, one)
+    jax.block_until_ready(out.traj)
+    latency_ms = (time.perf_counter() - t0) / 20 * 1000
+
+    print(json.dumps({
+        "metric": "inference_pointclouds_per_sec_per_chip",
+        "value": round(pcs_per_sec, 2),
+        "unit": "pointclouds/s",
+        "vs_baseline": 1.0,
+        "config": "windows_v2 flagship (pc=5120, out_vectors=450, masks=22)",
+        "train_step_ms_batch64": round(step_ms, 2),
+        "single_sample_latency_ms": round(latency_ms, 2),
+        "final_train_loss": round(float(loss), 4),
+        "device": str(jax.devices()[0]),
+        "n_devices": len(jax.devices()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

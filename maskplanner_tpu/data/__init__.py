@@ -1,0 +1,8 @@
+"""Data layer: geometry preprocessing, dataset pipeline, synthetic data."""
+from .dataset import PaintDataset, DataLoader, collate, segment_budget, point_budget
+from .synthetic import SyntheticPaintDataset, generate_sample
+
+__all__ = [
+    "PaintDataset", "DataLoader", "collate", "segment_budget", "point_budget",
+    "SyntheticPaintDataset", "generate_sample",
+]

@@ -1,0 +1,126 @@
+"""Chamfer-family loss terms.
+
+Each function mirrors one registry entry of the reference
+``loss_handler.py`` (file:line cited per function). All are pure,
+jit-compatible, and operate on statically shaped tensors with validity
+masks instead of −100 sentinel scans.
+
+Common arguments
+----------------
+y_pred      : (B, S_pred, D) predicted segments (never padded)
+y           : (B, S_gt, D) GT segments, −100-padded; ``y_mask`` optional
+traj_as_pc  : (B, P_gt, outdim) GT poses as point cloud, −100-padded
+outdim      : per-pose dimensionality (static)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.chamfer import chamfer_distance
+
+
+def chamfer(y_pred, y, y_mask=None, min_centroids=False, velocities=False, **_):
+    """Symmetric segment chamfer ×100 (loss_handler.py:538-551)."""
+    if velocities:
+        return 100.0 * chamfer_distance(y_pred, y, velocities=True,
+                                        padded=True, y_mask=y_mask)[0]
+    return 100.0 * chamfer_distance(
+        y_pred, y, padded=True, y_mask=y_mask, min_centroids=min_centroids
+    )[0]
+
+
+def symm_segment_chamfer(y_pred, y, y_mask=None, **kw):
+    """Alias of ``chamfer`` (loss_handler.py:1035-1041)."""
+    return chamfer(y_pred, y, y_mask=y_mask, **kw)
+
+
+def symm_point_chamfer(y_pred, traj_as_pc, outdim, pc_mask=None, **_):
+    """Symmetric point-wise chamfer between pred poses and GT pose cloud
+    (loss_handler.py:1044-1068)."""
+    B = y_pred.shape[0]
+    points = y_pred.reshape(B, -1, outdim)
+    return 100.0 * chamfer_distance(points, traj_as_pc, padded=True,
+                                    y_mask=pc_mask)[0]
+
+
+def asymm_segment_chamfer(y_pred, y, y_mask=None, **_):
+    """Forward (pred→GT) segment chamfer ×100 (loss_handler.py:1071-1085)."""
+    return 100.0 * chamfer_distance(y_pred, y, padded=True, y_mask=y_mask,
+                                    asymmetric=True)[0]
+
+
+def reverse_asymm_point_chamfer(y_pred, traj_as_pc, outdim, pc_mask=None, **_):
+    """GT points → pred points chamfer ×100 (loss_handler.py:1088-1117)."""
+    B = y_pred.shape[0]
+    points = y_pred.reshape(B, -1, outdim)
+    return 100.0 * chamfer_distance(points, traj_as_pc, padded=True,
+                                    y_mask=pc_mask, reverse_asymmetric=True)[0]
+
+
+def reverse_asymm_segment_chamfer(y_pred, y, y_mask=None, **_):
+    """GT segments → pred segments chamfer ×100 (loss_handler.py:1120-1139)."""
+    return 100.0 * chamfer_distance(y_pred, y, padded=True, y_mask=y_mask,
+                                    reverse_asymmetric=True)[0]
+
+
+def stoch_reverse_asymm_segment_chamfer(y_pred, y, rng, y_mask=None, **_):
+    """Reverse segment chamfer on a random GT subset of size S_pred
+    (loss_handler.py:1142-1175). ``rng``: PRNG key."""
+    B, n_pred, D = y_pred.shape
+    n_gt = y.shape[1]
+    take = min(n_pred, n_gt)
+    perm = jax.vmap(lambda k: jax.random.permutation(k, n_gt)[:take])(
+        jax.random.split(rng, B)
+    )
+    sel = jnp.take_along_axis(y, perm[..., None], axis=1)
+    sel_mask = (
+        jnp.take_along_axis(y_mask, perm, axis=1) if y_mask is not None else None
+    )
+    return 100.0 * chamfer_distance(y_pred, sel, padded=True, y_mask=sel_mask,
+                                    reverse_asymmetric=True)[0]
+
+
+def attraction_chamfer(y_pred, **_):
+    """Chamfer between segment end points and start points ×100
+    (loss_handler.py:524-535)."""
+    starts = y_pred[:, :, :3]
+    ends = y_pred[:, :, -3:]
+    return 100.0 * chamfer_distance(starts, ends)[0]
+
+
+def rich_attraction_chamfer(y_pred, outdim, soft_attraction=False, **_):
+    """Attraction on endpoint poses enriched with inferred velocities,
+    avoiding in-sequence self-matches (loss_handler.py:448-477).
+
+    Note: the reference concatenates the *starting* inferred velocity to
+    both endpoints (loss_handler.py:465-466); reproduced as-is.
+    """
+    starts = y_pred[:, :, :outdim]
+    ends = y_pred[:, :, -outdim:]
+    vel_start = y_pred[:, :, outdim : outdim + 3] - y_pred[:, :, :3]
+    starts = jnp.concatenate([starts, vel_start], axis=-1)
+    ends = jnp.concatenate([ends, vel_start], axis=-1)
+    return 100.0 * chamfer_distance(
+        starts, ends, avoid_in_sequence_collapsing=True,
+        soft_attraction=soft_attraction,
+        point_reduction=None if soft_attraction else "mean",
+        batch_reduction=None if soft_attraction else "mean",
+    )[0]
+
+
+def chamfer_bbox(bbox_pred, bbox_gt, bbox_mask=None, **_):
+    """Chamfer between predicted and GT 3D bboxes ×100
+    (loss_handler.py:1024-1032)."""
+    return 100.0 * chamfer_distance(bbox_pred, bbox_gt, padded=True,
+                                    y_mask=bbox_mask)[0]
+
+
+def chamfer_strokes(segments_per_stroke_pred, segments_per_stroke_gt,
+                    gt_mask=None, **_):
+    """Per-stroke symmetric chamfer, strokes stacked on the batch axis
+    (loss_handler.py:1472-1496)."""
+    return 100.0 * chamfer_distance(segments_per_stroke_pred,
+                                    segments_per_stroke_gt,
+                                    padded=True, y_mask=gt_mask)[0]

@@ -1,0 +1,137 @@
+"""Geometric regularizer losses (repulsion, align, intra-align, velcosine,
+mse, contrastive).
+
+Reference: loss_handler.py:1178-1345 (repulsion/align/intra_align),
+:1349-1391 (velcosine), :1394-1395 (mse), :480-521 (contrastive_v1).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.chamfer import mask_from_padding
+from .common import euclid_cdist, masked_mean
+
+
+def _knn_dists(points: Array, k: int):
+    """(B,N,3) -> (dists (B,N,k+1), idx) ascending incl. self."""
+    d = euclid_cdist(points, points)
+    neg, idx = jax.lax.top_k(-d, k + 1)
+    return -neg, idx
+
+
+def mean_knn_distance(points: Array, k: int, mask: Array | None = None) -> Array:
+    """Per-batch mean distance to the k-th NN (reference
+    utils/pointcloud.py:586-623, with y_lengths masking)."""
+    d = euclid_cdist(points, points)
+    big = 1e10
+    eye = jnp.eye(points.shape[1], dtype=bool)[None]
+    d = jnp.where(eye, big, d)
+    if mask is not None:
+        d = jnp.where(mask[:, None, :], d, big)
+    neg, _ = jax.lax.top_k(-d, k)
+    kth = -neg[..., k - 1]  # (B, N)
+    if mask is not None:
+        return masked_mean(kth, mask, axis=-1)
+    return kth.mean(axis=-1)
+
+
+def repulsion(y_pred, y, outdim, knn_repulsion=1, rep_target=None,
+              lambda_points=1, y_mask=None, **_):
+    """Gaussian-weighted kNN repulsion ×100 (loss_handler.py:1178-1228)."""
+    B = y_pred.shape[0]
+    pts = y_pred.reshape(B, -1, outdim)[:, :, :3] if lambda_points > 1 else y_pred
+    pts = pts[:, :, :3]
+
+    if rep_target is not None:
+        h = jnp.asarray(rep_target) * jnp.sqrt(2.0)
+    else:
+        gt_mask = y_mask
+        if gt_mask is None and lambda_points > 1:
+            gt_mask = mask_from_padding(y)
+        target = mean_knn_distance(y[:, :, :3], knn_repulsion, mask=gt_mask)
+        h = (target * jnp.sqrt(2.0))[:, None, None]
+
+    k = knn_repulsion
+    top_d, _ = _knn_dists(pts, k)
+    top_d = jnp.maximum(top_d[:, :, 1:], 1e-12)  # drop self-distance
+    weight = jnp.exp(-(top_d**2) / (h**2))
+    return 100.0 * jnp.mean(-top_d * weight)
+
+
+def align(y_pred, knn_repulsion=1, **_):
+    """kNN-neighbourhood SVD unexplained variance
+    (loss_handler.py:1237-1309)."""
+    pts = y_pred[:, :, :3]
+    k = knn_repulsion
+    _, idx = _knn_dists(pts, k)
+    B, N, _ = pts.shape
+    neigh = jnp.take_along_axis(
+        pts[:, None, :, :].repeat(N, axis=1),
+        idx[..., None].repeat(3, axis=-1),
+        axis=2,
+    )  # (B, N, k+1, 3)
+    centered = neigh - neigh.mean(axis=-2, keepdims=True)
+    s = jnp.linalg.svd(centered, compute_uv=False)  # (B, N, min(k+1,3))
+    return s[..., 1:].sum(-1).mean()
+
+
+def intra_align(y_pred, **_):
+    """Per-segment planarity: 3rd singular value of each λ-window
+    (loss_handler.py:1313-1345). Treats every 3 scalars as a point, exactly
+    like the reference's ``view(B,-1,3)``."""
+    B, S, D = y_pred.shape
+    lam_eff = D // 3
+    data = y_pred.reshape(B, S, lam_eff, 3)
+    centered = data - data.mean(axis=-2, keepdims=True)
+    s = jnp.linalg.svd(centered, compute_uv=False)  # (B, S, 3)
+    return s[..., 2].mean()
+
+
+def velcosine(y_pred, knn_repulsion=1, **_):
+    """Negative cosine similarity between each point's velocity and its
+    kNN mean velocity (loss_handler.py:1349-1391)."""
+    pos, vel = y_pred[:, :, :3], y_pred[:, :, 3:]
+    _, idx = _knn_dists(pos, knn_repulsion)
+    B, N, _ = pos.shape
+    nn_idx = idx[:, :, 1:]  # exclude self
+    nn_vel = jnp.take_along_axis(
+        vel[:, None, :, :].repeat(N, axis=1),
+        nn_idx[..., None].repeat(vel.shape[-1], axis=-1),
+        axis=2,
+    ).mean(axis=-2)
+    num = (vel * nn_vel).sum(-1)
+    den = jnp.maximum(
+        jnp.linalg.norm(vel, axis=-1) * jnp.linalg.norm(nn_vel, axis=-1), 1e-6
+    )
+    return -(num / den).mean()
+
+
+def mse(y_pred, y, **_):
+    """Plain MSE (loss_handler.py:1394-1395)."""
+    return jnp.mean((y_pred - y) ** 2)
+
+
+def contrastive_v1(latent_segments, stroke_ids, rng, margin=0.3,
+                   balance_negatives=True, n_strokes_max=64, **_):
+    """Pairwise cosine contrastive loss over latent segments
+    (loss_handler.py:480-521; arXiv:2003.13834 Eq. 4)."""
+    B, n_pts, C = latent_segments.shape
+    feat = latent_segments / jnp.maximum(
+        jnp.linalg.norm(latent_segments, axis=-1, keepdims=True), 1e-12
+    )
+    pair_sim = jnp.einsum("bic,bjc->bij", feat, feat)
+    one_hot = jax.nn.one_hot(stroke_ids, n_strokes_max)
+    pair_target = jnp.einsum("bik,bjk->bij", one_hot, one_hot)
+    cos_loss = pair_target * (1.0 - pair_sim) + (1.0 - pair_target) * jax.nn.relu(
+        pair_sim - margin
+    )
+    if balance_negatives:
+        pos_fraction = (pair_target == 1).mean()
+        sample_neg = jax.random.uniform(rng, pair_target.shape) > 1 - pos_fraction
+    else:
+        sample_neg = jnp.ones(pair_target.shape, bool)
+    sample_mask = (pair_target == 1) | sample_neg
+    diag = 1.0 - jnp.eye(n_pts)[None]
+    return (diag * sample_mask * cos_loss).mean()

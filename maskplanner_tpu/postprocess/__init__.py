@@ -1,0 +1,18 @@
+"""Inference-time postprocessing (host-side).
+
+Reference: ``utils/postprocessing.py``, ``utils/cluster.py``. The pipeline
+turns the network's unordered segment set + stroke masks into executable
+long-horizon robot trajectories:
+
+1. masks -> per-segment stroke ids (``stroke_ids``)
+2. filter overlapping/duplicate segments, per-stroke ordering via Edmonds
+   minimum spanning arborescence + longest path (``concat``)
+3. overlap removal, equal-space resampling, Akima upsample, Gaussian
+   smoothing (``smoothing``)
+"""
+from .stroke_ids import process_pred_stroke_masks_to_stroke_ids, handle_end_of_sequence
+
+__all__ = [
+    "process_pred_stroke_masks_to_stroke_ids",
+    "handle_end_of_sequence",
+]

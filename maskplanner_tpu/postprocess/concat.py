@@ -1,0 +1,89 @@
+"""Segment concatenation: order a stroke's segments into one path.
+
+Reference: ``utils/cluster.py:12-102``. Segment endpoints are enriched with
+inferred velocities (weight 1.5); a kNN(5)/radius(0.2) directed graph of
+end→start squared distances is reduced to its minimum spanning
+arborescence (Edmonds/Chu-Liu) whose unweighted longest path gives the
+segment order. Graphs are ≤ a few hundred nodes; this runs on the host
+after inference.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+VEL_WEIGHT = 1.5
+RADIUS = 0.2
+KNN = 5
+
+
+def _endpoint_features(traj: np.ndarray, outdim: int):
+    """Start/end poses augmented with the inferred *starting* velocity
+    (the reference attaches the starting velocity to both endpoints,
+    utils/cluster.py:41-44)."""
+    starts = traj[:, :outdim]
+    ends = traj[:, -outdim:]
+    vel_start = VEL_WEIGHT * (traj[:, outdim : outdim + 3] - traj[:, :3])
+    starts = np.concatenate([starts, vel_start], axis=-1)
+    ends = np.concatenate([ends, vel_start], axis=-1)
+    return starts, ends
+
+
+def concat_segments_of_stroke(traj: np.ndarray, stroke_ids, config,
+                              verbose: int = 0) -> np.ndarray:
+    """Order the segments of one stroke; returns the reordered subset
+    (segments off the main path are dropped, like the reference)."""
+    import networkx as nx
+
+    from ..data.pointcloud import get_dim_traj_points
+
+    outdim = get_dim_traj_points(config["extra_data"])
+    assert traj.shape[1] == outdim * config["lambda_points"]
+    n = traj.shape[0]
+    if n == 1:
+        return traj.copy()
+    k = min(n, KNN)
+
+    starts, ends = _endpoint_features(np.asarray(traj, np.float64), outdim)
+    d2 = ((ends[:, None, :] - starts[None, :, :]) ** 2).sum(-1)  # end_i -> start_j
+    nn_idx = np.argsort(d2, axis=1)[:, :k]
+
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    for i in range(n):
+        for j in nn_idx[i]:
+            if i != j and d2[i, j] < RADIUS:
+                G.add_edge(i, int(j), weight=float(d2[i, j]))
+
+    try:
+        arb = nx.minimum_spanning_arborescence(G, preserve_attrs=False)
+    except nx.NetworkXException:
+        # graph not spanning-connected: fall back to a greedy
+        # nearest-start chain from the segment with no cheap predecessor
+        order = _greedy_chain(d2)
+        return traj[order].copy()
+
+    for _, _, attrs in arb.edges(data=True):
+        attrs.pop("weight", None)
+    path = nx.dag_longest_path(arb)
+    if verbose and len(path) != n:
+        print(f"stroke concat dropped {n - len(path)}/{n} segments")
+    return traj[list(path)].copy()
+
+
+def _greedy_chain(d2: np.ndarray) -> list[int]:
+    """Fallback ordering: start from the globally cheapest edge's source,
+    repeatedly hop to the nearest unvisited start."""
+    n = d2.shape[0]
+    # start = segment that is nobody's cheap successor
+    incoming = d2.min(axis=0)
+    current = int(np.argmax(incoming))
+    visited = [current]
+    while len(visited) < n:
+        row = d2[current].copy()
+        row[visited] = np.inf
+        nxt = int(np.argmin(row))
+        if not np.isfinite(row[nxt]):
+            break
+        visited.append(nxt)
+        current = nxt
+    return visited

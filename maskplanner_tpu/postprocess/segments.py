@@ -1,0 +1,185 @@
+"""Segment filtering, concatenation and smoothing pipeline.
+
+Reference: ``utils/postprocessing.py:155-432`` (process_stroke_segments +
+helpers). Turns per-segment predictions with stroke ids into smooth,
+ordered, executable per-stroke trajectories:
+
+1. per-stroke greedy filtering of near-duplicate segments
+2. per-stroke ordering via Edmonds arborescence (``concat``)
+3. removal of poses overlapping between adjacent segments
+4. equal-space resampling -> Akima 5× upsample -> Gaussian smoothing
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..data.pointcloud import from_seq_to_pc, get_dim_traj_points
+from .concat import concat_segments_of_stroke
+
+FILTER_SEGMENTS_PERCENTAGE = 1.0
+FILTER_DISTANCE_THRESHOLD = 0.1
+
+
+def filter_overlapping_segments(traj: np.ndarray, stroke_ids: np.ndarray,
+                                percentage: float = FILTER_SEGMENTS_PERCENTAGE,
+                                threshold: float = FILTER_DISTANCE_THRESHOLD):
+    """Greedy per-stroke duplicate-segment suppression
+    (reference utils/postprocessing.py:189-235): repeatedly remove the
+    segment whose nearest neighbour within the stroke is closest, until the
+    budget is reached or no pair is closer than ``threshold``. Removed rows
+    become −100 / id −1."""
+    out_traj = traj.copy()
+    out_ids = stroke_ids.copy()
+    for b in range(traj.shape[0]):
+        for sid in np.unique(stroke_ids[b]):
+            if sid == -1:
+                continue
+            sel = stroke_ids[b] == sid
+            stroke = traj[b][sel].copy()
+            ids = stroke_ids[b][sel].copy()
+            n = stroke.shape[0]
+            if n <= 1.0 / percentage:
+                continue
+            to_filter = int(n * percentage)
+            removed: list[int] = []
+            alive = stroke.copy()
+            while len(removed) < to_filter:
+                d = np.linalg.norm(
+                    alive[:, None, :] - alive[None, :, :], axis=-1)
+                np.fill_diagonal(d, np.inf)
+                nn = d.min(axis=1)
+                nn[removed] = np.inf
+                if np.all(nn[np.isfinite(nn)] > threshold) or not np.isfinite(nn).any():
+                    break
+                idx = int(np.argmin(nn))
+                stroke[idx] = -100.0
+                ids[idx] = -1
+                alive[idx] = -100.0
+                removed.append(idx)
+            out_traj[b][sel] = stroke
+            out_ids[b][sel] = ids
+    return out_traj, out_ids
+
+
+def find_non_overlapping_points_among_adjacent_segments(stroke, distance,
+                                                        outdim):
+    """Indices of poses to keep after trimming each segment's tail where it
+    runs into the next segment's start
+    (reference utils/postprocessing.py:350-391)."""
+    N, D = stroke.shape
+    lam = D // outdim
+    keep: list[int] = []
+    for i in range(N - 1):
+        cur = stroke[i].reshape(lam, outdim)
+        nxt_start = stroke[i + 1].reshape(lam, outdim)[0]
+        cut = lam
+        for j in range(lam):
+            if np.linalg.norm(cur[j] - nxt_start) < distance:
+                cut = j + 1
+                break
+        keep += (np.arange(cut) + lam * i).tolist()
+    keep += (np.arange(lam) + lam * (N - 1)).tolist()
+    return keep
+
+
+def resample_at_equal_spaced_points_except_last(stroke, distance):
+    """Akima-walk resampling keeping the final pose
+    (reference utils/postprocessing.py:396-432)."""
+    from scipy.interpolate import Akima1DInterpolator
+
+    N = stroke.shape[0]
+    if N < 3:
+        return stroke.copy()
+    curve = Akima1DInterpolator(np.arange(N), stroke)
+    out = [stroke[0].copy()]
+    last = stroke[0]
+    t = 0.1
+    while t <= N - 1 + 0.0005:
+        p = curve(min(t, N - 1))
+        if np.linalg.norm(p - last) > distance:
+            last = p
+            out.append(p.copy())
+        t += 0.1
+    out.append(stroke[-1].copy())
+    return np.asarray(out)
+
+
+def apply_filter_to_each_dim(signal, kind="gaussian", **kwargs):
+    """Per-dimension 1-D filtering (reference utils/postprocessing.py:327-347)."""
+    from scipy.ndimage import gaussian_filter1d
+    from scipy.signal import medfilt
+
+    out = signal.copy()
+    for d in range(signal.shape[-1]):
+        if kind == "gaussian":
+            out[:, d] = gaussian_filter1d(out[:, d], **kwargs)
+        elif kind == "median":
+            w = kwargs["window"]
+            out[w // 2 : -(w // 2), d] = medfilt(out[w // 2 : -(w // 2), d], w)
+        else:
+            raise ValueError(kind)
+    return out
+
+
+def process_stroke_segments(traj, stroke_ids, config,
+                            skip_segments_filtering=False,
+                            segments_filtering_only=False,
+                            no_interpolation=False,
+                            fast_concat=False,
+                            verbose=0):
+    """Full postprocess (reference utils/postprocessing.py:155-324).
+
+    traj: (B, S, λ·outdim) predicted segments; stroke_ids: (B, S) from the
+    mask postprocess. Returns (list of (N_b, outdim) trajectories, list of
+    (N_b,) stroke ids) per batch element.
+    """
+    outdim = get_dim_traj_points(config["extra_data"])
+    if not skip_segments_filtering:
+        traj, stroke_ids = filter_overlapping_segments(
+            np.asarray(traj), np.asarray(stroke_ids))
+    if segments_filtering_only:
+        return traj, stroke_ids
+
+    esd = config.get("equal_spaced_points_distance") or 0.05
+    out_trajs, out_ids = [], []
+    for b in range(traj.shape[0]):
+        b_traj = np.empty((0, outdim))
+        b_ids = np.empty((0,))
+        for sid in np.unique(stroke_ids[b]):
+            if sid == -1:
+                continue
+            stroke = traj[b][stroke_ids[b] == sid]
+            stroke = stroke[~np.all(stroke == -100.0, axis=-1)]
+            if stroke.shape[0] == 0:
+                continue
+            stroke = concat_segments_of_stroke(
+                stroke, None, config, verbose=verbose)
+
+            keep = find_non_overlapping_points_among_adjacent_segments(
+                stroke, distance=0.05, outdim=outdim)
+            points = from_seq_to_pc(stroke, extra_data=config["extra_data"])
+            points = points[keep]
+
+            if not fast_concat:
+                if no_interpolation:
+                    points = resample_at_equal_spaced_points_except_last(
+                        points, distance=esd)
+                else:
+                    points = resample_at_equal_spaced_points_except_last(
+                        points, distance=0.1)
+                    if points.shape[0] >= 3:
+                        from scipy.interpolate import Akima1DInterpolator
+
+                        curve = Akima1DInterpolator(
+                            np.arange(points.shape[0]), points)
+                        ts = np.arange(0, points.shape[0], step=1 / 5)
+                        points = curve(ts)
+                        points = points[~np.isnan(points[:, 0])]
+                        points = apply_filter_to_each_dim(
+                            points, kind="gaussian", sigma=2)
+
+            b_traj = np.append(b_traj, points, axis=0)
+            b_ids = np.append(b_ids, np.repeat(sid, points.shape[0]))
+        out_trajs.append(b_traj)
+        out_ids.append(b_ids)
+    return out_trajs, out_ids

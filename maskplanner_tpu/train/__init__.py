@@ -1,0 +1,22 @@
+"""Training stack: train/eval steps, schedulers, checkpointing."""
+from .trainer import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+    build_loss_batch,
+)
+from .schedulers import lr_schedule, PSACDScheduler, apply_delayed_activations
+from . import checkpoints
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "build_loss_batch",
+    "lr_schedule",
+    "PSACDScheduler",
+    "apply_delayed_activations",
+    "checkpoints",
+]

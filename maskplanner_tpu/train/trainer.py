@@ -1,0 +1,112 @@
+"""Train/eval step construction.
+
+The whole step — forward, chamfer matching, Hungarian mask assignment,
+loss, backward, optimizer update — is one jitted XLA program; there is no
+per-step host round-trip (the reference syncs to CPU every step for the
+scipy LAP, loss_handler.py:863-875, SURVEY.md §3.1 hot loops).
+
+Loss weights enter as a traced dict so the PSACD curriculum / delayed
+activation (host-side, per-epoch) never trigger recompilation.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ..losses import LossHandler
+from ..models.maskplanner import MaskPlannerOutput
+from .schedulers import lr_schedule
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(model, config, rng, sample_pc, steps_per_epoch=1):
+    """Initialize parameters + Adam with the configured LR schedule."""
+    variables = model.init(rng, sample_pc, train=False)
+    tx = optax.adam(lr_schedule(config, steps_per_epoch))
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def build_loss_batch(out, batch, config) -> dict:
+    """Map model outputs + data batch to the loss-handler kwargs."""
+    lb = dict(
+        y=batch["traj"],
+        y_mask=batch["stroke_ids"] >= 0,
+        traj_as_pc=batch["traj_as_pc"],
+        pc_mask=batch["stroke_ids_as_pc"] >= 0,
+        stroke_ids=batch["stroke_ids"],
+    )
+    if isinstance(out, MaskPlannerOutput):
+        lb.update(
+            y_pred=out.traj,
+            pred_stroke_masks=out.stroke_masks,
+            mask_scores=out.mask_scores,
+            seg_logits=out.seg_conf,
+        )
+    else:
+        lb["y_pred"] = out
+    return lb
+
+
+def make_train_step(model, handler: LossHandler, config):
+    """Returns jitted ``train_step(state, batch, weights, rng)``."""
+
+    def train_step(state: TrainState, batch, weights, rng):
+        dropout_rng, loss_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables,
+                batch["point_cloud"],
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            lb = build_loss_batch(out, batch, config)
+            total, terms = handler.compute(weights, rng=loss_rng, **lb)
+            return total, (terms, mutated["batch_stats"])
+
+        (loss, (terms, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_bs)
+        return state, loss, terms
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, handler: LossHandler, config):
+    """Returns jitted ``eval_step(state, batch, weights, rng)`` ->
+    (loss, terms, outputs). Uses running BN statistics, no dropout."""
+
+    def eval_step(state: TrainState, batch, weights, rng):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(variables, batch["point_cloud"], train=False)
+        lb = build_loss_batch(out, batch, config)
+        total, terms = handler.compute(weights, rng=rng, **lb)
+        return total, terms, out
+
+    return jax.jit(eval_step)
+
+
+def make_forward(model):
+    """Jitted inference forward (for latency benchmarking / dumps)."""
+
+    def forward(state: TrainState, point_cloud):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, point_cloud, train=False)
+
+    return jax.jit(forward)

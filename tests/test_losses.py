@@ -1,0 +1,159 @@
+"""Loss-system parity tests against independent numpy/scipy oracles
+re-deriving the reference semantics (loss_handler.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from maskplanner_tpu.losses import LossHandler
+from maskplanner_tpu.losses.mask_losses import stroke_masks_loss
+from maskplanner_tpu.losses.stroke_losses import emd
+from maskplanner_tpu.losses.regularizers import intra_align, repulsion
+from maskplanner_tpu.utils.args import load_args
+
+
+def np_bce(x, t):
+    return np.maximum(x, 0) - x * t + np.log1p(np.exp(-np.abs(x)))
+
+
+def np_sqdist(a, b):
+    return ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+
+
+def oracle_stroke_masks_loss(match, masks, scores, stroke_ids,
+                             w_masks=1.0, w_conf=100.0, no_stroke_w=1.0):
+    """Reference semantics (loss_handler.py:816-935), python loops."""
+    B, M, S = masks.shape
+    matched_losses = []
+    target_scores = np.zeros((B, M))
+    weight = np.full((B, M), no_stroke_w)
+    for b in range(B):
+        tgt_ids = stroke_ids[b][match[b]]
+        uniq = [k for k in np.unique(tgt_ids) if k != -1]
+        T = np.stack([(tgt_ids == k).astype(float) for k in uniq])  # (K, S)
+        cost = np.array(
+            [[np_bce(masks[b, i], T[k]).sum() for k in range(len(uniq))]
+             for i in range(M)]
+        )
+        ri, ci = linear_sum_assignment(cost)
+        for i, k in zip(ri, ci):
+            matched_losses.append(np_bce(masks[b, i], T[k]).sum())
+            target_scores[b, i] = 1.0
+            weight[b, i] = 1.0
+    mask_loss = float(np.mean(matched_losses))
+    conf = float(np.mean(weight * np_bce(scores, target_scores)))
+    return w_masks * mask_loss + w_conf * conf
+
+
+class TestStrokeMasksLoss:
+    def test_matches_oracle(self, rng):
+        B, M, S_pred, S_gt = 3, 6, 25, 30
+        masks = rng.normal(size=(B, M, S_pred)).astype(np.float32)
+        scores = rng.normal(size=(B, M)).astype(np.float32)
+        # GT stroke ids: 4 real strokes, some padding
+        stroke_ids = np.concatenate(
+            [np.repeat(np.arange(4), 7), -np.ones(2)]
+        ).astype(np.int64)[None].repeat(B, 0)
+        match = rng.integers(0, 28, size=(B, S_pred))  # only real GT segments
+        weights = {
+            "explicit_weight_stroke_masks": jnp.float32(1.0),
+            "explicit_weight_stroke_masks_confidence": jnp.float32(100.0),
+            "explicit_no_stroke_weight": jnp.float32(0.25),
+        }
+        got = float(stroke_masks_loss(
+            jnp.array(match), jnp.array(masks), jnp.array(scores),
+            jnp.array(stroke_ids), weights))
+        expected = oracle_stroke_masks_loss(
+            match, masks, scores, stroke_ids, 1.0, 100.0, 0.25)
+        np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+    def test_unrepresented_stroke_excluded(self, rng):
+        """A GT stroke with no matched segment must not create a target mask
+        (reference builds masks only from unique matched ids)."""
+        B, M, S_pred = 1, 4, 10
+        masks = rng.normal(size=(B, M, S_pred)).astype(np.float32)
+        scores = rng.normal(size=(B, M)).astype(np.float32)
+        stroke_ids = np.array([[0] * 5 + [1] * 5 + [2] * 5]).astype(np.int64)
+        match = np.zeros((B, S_pred), np.int64)  # all match stroke 0 segments
+        match[0, 5:] = 7  # some match stroke 1; stroke 2 never matched
+        weights = {
+            "explicit_weight_stroke_masks": jnp.float32(1.0),
+            "explicit_weight_stroke_masks_confidence": jnp.float32(1.0),
+            "explicit_no_stroke_weight": jnp.float32(1.0),
+        }
+        got = float(stroke_masks_loss(
+            jnp.array(match), jnp.array(masks), jnp.array(scores),
+            jnp.array(stroke_ids), weights))
+        expected = oracle_stroke_masks_loss(
+            match, masks, scores, stroke_ids, 1.0, 1.0, 1.0)
+        np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+class TestEMD:
+    def test_matches_oracle(self, rng):
+        B, P, G, D = 2, 8, 6, 5
+        y_pred = rng.normal(size=(B, P, D)).astype(np.float32)
+        y = rng.normal(size=(B, G, D)).astype(np.float32)
+        got = float(emd(jnp.array(y_pred), jnp.array(y)))
+        vals = []
+        for b in range(B):
+            cost = np.sqrt(np_sqdist(y_pred[b], y[b]))
+            ri, ci = linear_sum_assignment(cost)
+            for i, j in zip(ri, ci):
+                vals.append(((y_pred[b, i] - y[b, j]) ** 2).sum())
+        np.testing.assert_allclose(got, np.mean(vals), rtol=1e-4)
+
+
+class TestRegularizers:
+    def test_intra_align_planar_is_zero(self, rng):
+        # segments lying exactly on a plane -> 3rd singular value == 0
+        B, S, lam = 2, 5, 4
+        pts = rng.normal(size=(B, S, lam, 3)).astype(np.float32)
+        pts[..., 2] = 0.0  # flatten to z=0 plane
+        val = float(intra_align(jnp.array(pts.reshape(B, S, lam * 3))))
+        assert val < 1e-5
+        bent = rng.normal(size=(B, S, lam, 3)).astype(np.float32)
+        assert float(intra_align(jnp.array(bent.reshape(B, S, lam * 3)))) > 1e-3
+
+    def test_repulsion_sign_and_scale(self, rng):
+        # clustered points repel more (more negative) than spread points
+        B, S, D = 1, 20, 24
+        close = rng.normal(size=(B, S, D)).astype(np.float32) * 0.01
+        far = rng.normal(size=(B, S, D)).astype(np.float32) * 10.0
+        y = rng.normal(size=(B, 30, D)).astype(np.float32)
+        r_close = float(repulsion(jnp.array(close), jnp.array(y), outdim=6,
+                                  lambda_points=4, rep_target=0.1))
+        r_far = float(repulsion(jnp.array(far), jnp.array(y), outdim=6,
+                                lambda_points=4, rep_target=0.1))
+        assert r_close < r_far <= 0.0
+
+
+class TestHandlerEndToEnd:
+    def test_flagship_loss_finite_and_differentiable(self, rng):
+        cfg = load_args(argv=["config=[maskplanner,cuboids_v2,longx_v2,debug]"])
+        handler = LossHandler(cfg.loss, cfg)
+        weights = handler.init_weights()
+        B, S_pred, S_gt, P, M, D = 2, 12, 15, 40, 6, 24
+        y = rng.normal(size=(B, S_gt, D)).astype(np.float32)
+        y[:, 13:] = -100.0
+        pc = rng.normal(size=(B, P, 6)).astype(np.float32)
+        pc[:, 35:] = -100.0
+        sids = np.concatenate([np.repeat(np.arange(3), 4), [-1, -1, -1]])
+        batch = dict(
+            y=jnp.array(y), traj_as_pc=jnp.array(pc),
+            stroke_ids=jnp.array(sids[None].repeat(B, 0)),
+            pred_stroke_masks=jnp.array(rng.normal(size=(B, M, S_pred)),
+                                        dtype=jnp.float32),
+            mask_scores=jnp.array(rng.normal(size=(B, M)), dtype=jnp.float32),
+            seg_logits=None,
+        )
+
+        def loss_fn(y_pred):
+            total, terms = handler.compute(weights, y_pred=y_pred, **batch)
+            return total
+
+        y_pred = jnp.array(rng.normal(size=(B, S_pred, D)), dtype=jnp.float32)
+        val, grad = jax.value_and_grad(loss_fn)(y_pred)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grad)).all()
+        assert float(jnp.abs(grad).sum()) > 0

@@ -1,0 +1,196 @@
+"""MaskPlanner training driver (TPU-native).
+
+User contract identical to the reference ``train_maskplanner.py``:
+
+    python train_maskplanner.py config=[maskplanner,cuboids_v2,longx_v2] seed=1
+
+Orchestration mirrors the reference main() (train_maskplanner.py:72-383):
+config -> seed -> run dir -> data -> model -> optimizer/scheduler ->
+epoch loop with eval/checkpoint every ``eval_freq`` -> PSACD + delayed-loss
+stepping -> final eval with .npy dumps. TPU-first differences: one jitted
+train step (no host LAP sync), data-parallel mesh sharding, dynamic loss
+weights (no recompile on curriculum steps), true resume support.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+from maskplanner_tpu.utils import set_seed, get_run_name, create_dirs
+from maskplanner_tpu.utils.args import load_args
+from maskplanner_tpu.utils.config import save_config
+from maskplanner_tpu.utils.logging import Run
+from maskplanner_tpu.data.dataset import PaintDataset, DataLoader
+from maskplanner_tpu.models import get_model
+from maskplanner_tpu.losses import LossHandler
+from maskplanner_tpu.metrics import MetricsHandler
+from maskplanner_tpu.parallel import make_mesh, shard_batch, replicate
+from maskplanner_tpu.train import (
+    PSACDScheduler,
+    apply_delayed_activations,
+    checkpoints,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from maskplanner_tpu.train.trainer import make_forward
+from maskplanner_tpu.train.loop import evaluate
+
+
+def get_output_dir(config):
+    """Priority: config.output_dir > $WORKDIR > ./runs
+    (reference utils/disk.py:113-127)."""
+    return config.get("output_dir") or os.environ.get("WORKDIR") or "runs"
+
+
+def main(config=None):
+    config = config or load_args()
+    rng = set_seed(config.get("seed"))
+
+    run_name = get_run_name(config)
+    run_dir = create_dirs(os.path.join(get_output_dir(config), run_name))
+    save_config(config, run_dir)
+    print(f"Run dir: {run_dir}")
+
+    wandb_mode = "disabled" if (config.get("debug") or
+                                config.get("wandb") == "disabled") else config.get("wandb", "disabled")
+    run = Run(run_dir, config=config.to_dict(),
+              group=(config.get("group") or config.get("auto_wandb_group")),
+              name=config.get("name"), mode=wandb_mode)
+
+    # ---- data -------------------------------------------------------------
+    tr_dataset = PaintDataset(config, split="train",
+                              size=config.get("dataset_size"))
+    te_dataset = PaintDataset(config, split="test",
+                              size=config.get("test_dataset_size"))
+    batch_size = int(config["batch_size"])
+    tr_loader = DataLoader(tr_dataset, batch_size, shuffle=True,
+                           seed=int(config.get("seed") or 0))
+    te_loader = DataLoader(te_dataset, min(batch_size, len(te_dataset)),
+                           shuffle=False, drop_last=False)
+    steps_per_epoch = max(1, len(tr_loader))
+
+    # ---- mesh + model -----------------------------------------------------
+    mesh = make_mesh()
+    model = get_model(config)
+    sample = tr_dataset[0]
+    sample_pc = np.asarray(sample["point_cloud"])[None]
+    state = create_train_state(model, config, rng, sample_pc, steps_per_epoch)
+    state = replicate(state, mesh)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"Model: {config['model']['backbone']} | params: {n_params/1e6:.2f}M "
+          f"| devices: {len(jax.devices())}")
+
+    # ---- loss / metrics / schedulers --------------------------------------
+    loss_handler = LossHandler(config["loss"], config)
+    weights = loss_handler.init_weights()
+    metrics_handler = MetricsHandler(config, config.get("eval_metrics") or [])
+    psacd = (PSACDScheduler(config["psacd_scheduler"])
+             if config["psacd_scheduler"].get("active") else None)
+
+    train_step = make_train_step(model, loss_handler, config)
+    eval_step = make_eval_step(model, loss_handler, config)
+    forward = make_forward(model)
+
+    # ---- resume (new capability vs reference) ------------------------------
+    start_epoch = 0
+    if config.get("resume") and checkpoints.checkpoint_exists(run_dir,
+                                                              "last_checkpoint"):
+        state, start_epoch = checkpoints.load_checkpoint(run_dir,
+                                                         "last_checkpoint", state)
+        print(f"Resumed from epoch {start_epoch}")
+
+    epochs = int(config["epochs"])
+    eval_freq = int(config["eval_freq"])
+    best_eval_loss, best_epoch = float("inf"), -1
+    eval_loss = float("nan")
+    t_train0 = time.time()
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        epoch_loss, epoch_terms, n_batches = 0.0, {}, 0
+        for batch in tr_loader.epoch(epoch):
+            device_batch = shard_batch(batch, mesh)
+            state, loss, terms = train_step(state, device_batch, weights, rng)
+            epoch_loss += float(loss)
+            for k, v in terms.items():
+                epoch_terms[k] = epoch_terms.get(k, 0.0) + float(v)
+            n_batches += 1
+        epoch_loss /= n_batches
+        log = {"train_loss": epoch_loss, "epoch": epoch + 1,
+               "epoch_seconds": time.time() - t0}
+        log.update({f"{k}_train_loss": v / n_batches
+                    for k, v in epoch_terms.items()})
+
+        # ---- eval + checkpoint (reference :242-270) -----------------------
+        if (epoch + 1) % eval_freq == 0 or (epoch + 1) == epochs:
+            eval_loss, eval_terms, eval_metrics, _ = evaluate(
+                state, te_loader, eval_step, weights, metrics_handler, rng,
+                mesh=None)
+            log.update({"eval_loss": eval_loss})
+            log.update({f"{k}_eval_loss": v for k, v in eval_terms.items()})
+            log.update(eval_metrics)
+            if not config.get("no_save"):
+                checkpoints.save_checkpoint(run_dir, "last_checkpoint", state,
+                                            epoch + 1, epoch_loss)
+                if eval_loss < best_eval_loss:
+                    best_eval_loss, best_epoch = eval_loss, epoch + 1
+                    checkpoints.copy_checkpoint(run_dir, "last_checkpoint",
+                                                "best_model")
+                if (config.get("save_intermediate_models")
+                        and (epoch + 1) % int(
+                            config["save_intermediate_models_freq"]) == 0):
+                    checkpoints.copy_checkpoint(
+                        run_dir, "last_checkpoint",
+                        f"intermediate_checkpoint_epoch{epoch + 1}")
+            print(f"[{epoch + 1}/{epochs}] train {epoch_loss:.4f} "
+                  f"| eval {eval_loss:.4f} | {log['epoch_seconds']:.2f}s")
+        run.log(log, step=epoch + 1)
+
+        # ---- curriculum (reference :287-306) ------------------------------
+        if psacd is not None and psacd.is_time_to_step(epoch, epochs):
+            weights = psacd.step_loss_weights(weights)
+        weights = apply_delayed_activations(config, weights, epoch)
+
+    tot_train = time.time() - t_train0
+    run.summary["best_epoch"] = best_epoch
+    run.summary["best_eval_loss"] = best_eval_loss
+    run.summary["last_eval_loss"] = eval_loss
+    run.summary["tot_train_seconds"] = round(tot_train, 2)
+    print(f"Training finished in {tot_train:.1f}s | best epoch {best_epoch} "
+          f"({best_eval_loss:.4f})")
+
+    # ---- final eval with dumps (reference :327-359) ------------------------
+    eval_ckpt = config.get("eval_ckpt", "last")
+    if not config.get("no_save"):
+        name = "best_model" if (eval_ckpt == "best" and
+                                checkpoints.checkpoint_exists(run_dir,
+                                                              "best_model")) \
+            else "last_checkpoint"
+        if checkpoints.checkpoint_exists(run_dir, name):
+            state, _ = checkpoints.load_checkpoint(run_dir, name, state)
+        results_dir = create_dirs(os.path.join(run_dir, "results"))
+        for split, loader in (("train", tr_loader), ("test", te_loader)):
+            loss_v, terms_v, metrics_v, ms = evaluate(
+                state, loader, eval_step, weights, metrics_handler, rng,
+                save=True, save_dir=results_dir, split=split,
+                eval_ckpt=eval_ckpt, forward=forward)
+            run.summary[f"final_{split}_loss"] = loss_v
+            for k, v in metrics_v.items():
+                run.summary[f"final_{split}_{k}"] = v
+            if ms is not None:
+                run.summary[f"{split}_inference_ms"] = ms
+        if not config.get("skip_rendering"):
+            print(f"Renderable dumps written to {results_dir} "
+                  f"(run render_results.py --run {run_dir})")
+
+    run.finish()
+    return run_dir, state
+
+
+if __name__ == "__main__":
+    main()
