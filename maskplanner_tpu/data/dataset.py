@@ -79,8 +79,12 @@ class PaintDataset:
         if root and os.path.isdir(root):
             from .io import DiskPaintDataset
 
-            self.sources = [DiskPaintDataset(root, c, split)
-                            for c in self.categories]
+            self.sources = [
+                DiskPaintDataset(root, c, split,
+                                 extra_data=tuple(self.extra_data),
+                                 weight_orient=float(config["weight_orient"]))
+                for c in self.categories
+            ]
         else:
             default_size = size or (32 if split == "train" else 8)
             per_cat = max(1, default_size // len(self.categories))
@@ -107,6 +111,13 @@ class PaintDataset:
             return float(config["data_scale_factor"])
         if config.get("normalization") == "none":
             return 1.0
+        # per-dataset: precomputed constants for the real categories
+        # (reference utils/disk.py:16-43); measured for synthetic data
+        from .io import DATASET_DOWNSCALE_FACTORS, get_dataset_name
+
+        known = DATASET_DOWNSCALE_FACTORS.get(get_dataset_name(self.categories))
+        if known is not None and os.environ.get("PAINTNET_ROOT"):
+            return float(known)
         dists = []
         for src in self.sources:
             for i in range(min(4, len(src))):

@@ -241,15 +241,20 @@ class LossHandler:
                     stroke_ids=b["stroke_ids"], weights=w),
         }
 
-        def todo(name):
-            def _raise(b, w, r):
-                raise NotImplementedError(
-                    f"loss '{name}' requires the adversarial loss module "
-                    f"(losses.gan); wire it through the train state"
-                )
-            return _raise
+        def gan_loss(b, w, r):
+            # trainer threads the AdversarialLoss module + its state via the
+            # batch; the discriminator update runs outside the generator grad
+            return b["gan_module"].generator_loss(b["gan_state"], b["y_pred"])
 
-        for name in ("discriminator", "wdiscriminator",
-                     "asymm_v6_chamfer_strokes"):
-            table.setdefault(name, todo(name))
+        table["discriminator"] = gan_loss
+        table["wdiscriminator"] = gan_loss
+        table["asymm_v6_chamfer_strokes"] = lambda b, w, r: (
+            C.asymm_segment_chamfer(
+                y_pred=b["stacked_segments_per_stroke_pred"],
+                y=b["stacked_segments_per_stroke_gt"],
+                y_mask=b.get("stacked_segments_per_stroke_gt_mask"))
+            + C.reverse_asymm_segment_chamfer(
+                y_pred=b["stacked_segments_per_stroke_pred"],
+                y=b["stacked_segments_per_stroke_gt"],
+                y_mask=b.get("stacked_segments_per_stroke_gt_mask")))
         return table

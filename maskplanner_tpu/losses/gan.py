@@ -1,0 +1,152 @@
+"""Adversarial losses (minimax + WGAN-GP) with explicit state threading.
+
+Reference: loss_handler.py:259-375 (discriminator / wdiscriminator — the
+reference trains an internal discriminator *inside* the loss call) and
+models/gradient_penalty.py (WGAN-GP). In JAX the discriminator state is
+explicit: ``AdversarialLoss`` owns the Flax module; the trainer calls
+``discriminator_update`` (its own jitted optimizer step) once per batch
+and passes the updated state into the generator loss, whose gradient
+flows only to ``y_pred``.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.pointcloud import get_dim_traj_points
+from ..models.dgcnn import DGCNNDiscriminator
+from ..models.mlp import MLP
+from .common import bce_with_logits
+
+
+class DState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class AdversarialLoss:
+    """Builds the configured discriminator and its loss/update functions.
+
+    kind: 'discriminator' (minimax BCE) or 'wdiscriminator' (WGAN-GP).
+    """
+
+    def __init__(self, config, kind: str = "wdiscriminator"):
+        self.kind = kind
+        self.config = config
+        self.outdim = get_dim_traj_points(config["extra_data"])
+        self.input_type = config.get("discr_input_type", "pointcloud")
+        self.backbone = config.get("discr_backbone", "pointnet2")
+        self.lambda_gp = float(config.get("discr_lambdaGP", 10))
+        self.weight_discr_training = float(config.get("weight_discr_training", 1.0))
+        self.train_iter = int(config.get("discr_train_iter", 1))
+        self.train_freq = int(config.get("discr_train_freq", 1))
+        self.singlestrokes_norm = bool(config.get("singlestrokes_norm"))
+
+        if kind == "discriminator" or self.backbone == "dgcnn":
+            self.module = DGCNNDiscriminator(k=int(config.get("knn_gcn", 20)))
+        elif self.backbone == "mlp":
+            self.module = MLP(hidden_sizes=(512, 256, 128), output_size=1)
+        else:
+            # pointnet2/pointnet backbones reduce to a set encoder + scalar
+            # head; DGCNN covers the set-discriminator role on TPU. A plain
+            # MLP covers the singlestrokes case.
+            self.module = DGCNNDiscriminator(k=int(config.get("knn_gcn", 20)))
+        self.tx = optax.adam(1e-4, b1=0.9, b2=0.999)
+
+    # -- input reshaping (reference loss_handler.py:303-340) ---------------
+    def prepare(self, y):
+        B = y.shape[0]
+        if self.input_type == "pointcloud":
+            return y.reshape(B, -1, self.outdim)
+        if self.input_type == "strokecloud":
+            return y
+        if self.input_type == "singlestrokes":
+            n_strokes = self.config["n_strokes"]
+            flat = y.reshape(B * n_strokes, -1)
+            if self.singlestrokes_norm:
+                pts = flat.reshape(flat.shape[0], -1, self.outdim)
+                pts = pts - pts.mean(axis=1, keepdims=True)
+                flat = pts.reshape(flat.shape[0], -1)
+            return flat
+        raise ValueError(self.input_type)
+
+    def init_state(self, rng, y_example) -> DState:
+        x = self.prepare(jnp.asarray(y_example))
+        variables = self.module.init(rng, x, train=False)
+        return DState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+        )
+
+    def _apply(self, params, batch_stats, x, train, rng=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(train=train)
+        if train:
+            out, mutated = self.module.apply(
+                variables, x, mutable=["batch_stats"],
+                rngs={"dropout": rng} if rng is not None else None, **kwargs)
+            return out, mutated["batch_stats"]
+        return self.module.apply(variables, x, **kwargs), batch_stats
+
+    # -- discriminator update (runs outside the generator grad) ------------
+    def discriminator_update(self, d_state: DState, y_pred, y, rng):
+        """One (or train_iter) discriminator optimizer steps; returns
+        (new_state, d_internal_loss)."""
+        real = self.prepare(jax.lax.stop_gradient(y))
+        fake = self.prepare(jax.lax.stop_gradient(y_pred))
+
+        def d_loss_fn(params, batch_stats, rng):
+            if self.kind == "discriminator":
+                out_r, bs = self._apply(params, batch_stats, real, True, rng)
+                out_f, bs = self._apply(params, bs, fake, True, rng)
+                loss = (bce_with_logits(out_r, jnp.ones_like(out_r)).mean()
+                        + bce_with_logits(out_f, jnp.zeros_like(out_f)).mean())
+                return self.weight_discr_training * loss, bs
+            # WGAN-GP (reference loss_handler.py:344-365 + gradient_penalty.py)
+            out_r, bs = self._apply(params, batch_stats, real, True, rng)
+            out_f, bs = self._apply(params, bs, fake, True, rng)
+            w_loss = self.weight_discr_training * (-out_r.mean() + out_f.mean())
+
+            eps_shape = (real.shape[0],) + (1,) * (real.ndim - 1)
+            eps = jax.random.uniform(rng, eps_shape)
+            interp = eps * real + (1 - eps) * fake
+
+            def critic(z):
+                out, _ = self._apply(params, bs, z[None], True, rng)
+                return out.sum()
+
+            grads = jax.vmap(jax.grad(critic))(interp)
+            gnorm = jnp.sqrt(
+                (grads.reshape(grads.shape[0], -1) ** 2).sum(-1) + 1e-12)
+            gp = self.lambda_gp * ((gnorm - 1.0) ** 2).mean()
+            return w_loss + gp, bs
+
+        def one_step(carry, rng_i):
+            params, batch_stats, opt_state = carry
+            (loss, new_bs), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(params, batch_stats, rng_i)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state), loss
+
+        rngs = jax.random.split(rng, self.train_iter)
+        (params, bs, opt_state), losses = jax.lax.scan(
+            one_step, (d_state.params, d_state.batch_stats, d_state.opt_state),
+            rngs)
+        return DState(params, bs, opt_state), losses[-1]
+
+    # -- generator loss (differentiable wrt y_pred) --------------------------
+    def generator_loss(self, d_state: DState, y_pred):
+        fake = self.prepare(y_pred)
+        out = self.module.apply(
+            {"params": jax.lax.stop_gradient(d_state.params),
+             "batch_stats": d_state.batch_stats},
+            fake, train=False)
+        if self.kind == "discriminator":
+            return bce_with_logits(out, jnp.ones_like(out)).mean()
+        return -out.mean()

@@ -19,6 +19,15 @@ from .maskplanner import (
     PointNet2SoPs,
     PointNet2StrokeWise,
 )
+from .pointnet import (
+    PointNetRegressor,
+    PointNetSegmenter,
+    PointNetSegmenterConv1d,
+)
+from .pointnet2_seg import PointNet2Segmenter, PointNet2SegmenterPaintNet
+from .dgcnn import DGCNNDiscriminator
+from .mlp import MLP, MLPGenerator, MLPRegressor
+from .point_transformer import PointTransformer
 
 __all__ = [
     "MaskPlannerOutput",
@@ -26,6 +35,16 @@ __all__ = [
     "PointNet2Regressor",
     "PointNet2SoPs",
     "PointNet2StrokeWise",
+    "PointNetRegressor",
+    "PointNetSegmenter",
+    "PointNetSegmenterConv1d",
+    "PointNet2Segmenter",
+    "PointNet2SegmenterPaintNet",
+    "DGCNNDiscriminator",
+    "MLP",
+    "MLPGenerator",
+    "MLPRegressor",
+    "PointTransformer",
     "get_model",
     "get_io_info",
     "compute_out_vectors",
@@ -85,6 +104,51 @@ def get_io_info(io_type: str, config) -> dict[str, Any]:
             "vector_outdim_orient": orient_outdim * config["stroke_points"],
             "out_vectors": config["n_strokes"],
         }
+
+    if io_type == "ODv1_strokeProposal":
+        # start-of-path token sizing (reference models/__init__.py:224-238)
+        tok = int(config.get("start_of_path_token_length", 1))
+        return {
+            "vector_outdim_transl": (outdim - orient_outdim) * tok,
+            "vector_outdim_orient": orient_outdim * tok,
+        }
+
+    if io_type == "ODv1_strokeRollout":
+        # rollout head sizing (reference models/__init__.py:239-277)
+        input_size = int(config["stroke_prototype_dim"])
+        if config.select("rollout_model.object_features"):
+            input_size += 1024
+        rollout_loss = config.get("rollout_loss") or []
+        eop = False
+        if "mse_strokes" in rollout_loss:
+            out_vectors = config["stroke_points"]
+        elif "chamfer_strokes" in rollout_loss:
+            out_vectors = config["out_segments_per_stroke"]
+        elif "masked_mse_strokes" in rollout_loss:
+            out_vectors = config["out_points_per_stroke"]
+            eop = True
+        elif "masked_mse_strokes_from_segments" in rollout_loss:
+            out_vectors = config["out_points_per_stroke"]
+        elif "mse_nexttoken" in rollout_loss:
+            out_vectors = 1
+            input_size += (config["substroke_points"] - 1) * outdim * lam
+        elif "mse_nexttoken_v2" in rollout_loss:
+            out_vectors = 1
+            input_size += config["substroke_points"] * outdim * lam
+            eop = bool(config.get("end_of_path_confidence"))
+        else:
+            raise ValueError(f"unsupported rollout_loss: {rollout_loss}")
+        return {
+            "input_size": input_size,
+            "outdim_trasl": (outdim - orient_outdim) * lam,
+            "outdim_orient": orient_outdim * lam,
+            "out_vectors": out_vectors,
+            "outdim": outdim,
+            "end_of_path_confidence": eop,
+        }
+
+    if io_type == "ContrastiveClustering":
+        return {"inputdim": outdim * lam}
 
     raise ValueError(f"unknown io_type: {io_type}")
 
@@ -148,5 +212,82 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
             weight_orient=config["weight_orient"],
             hidden_size=hidden,
         )
+
+    if which == "pointnet":
+        info = get_io_info(io_type if io_type != "MaskPlanner" else "paintnet",
+                           config)
+        assert orient_outdim == 0, (
+            "pointnet backbone does not support output normals (reference "
+            "models/__init__.py:98-99)")
+        return PointNetRegressor(
+            out_vectors=info["out_vectors"],
+            outdim=info["vector_outdim_transl"],
+            affinetrans=bool(config["model"].get("affinetrans")),
+            hidden_size=hidden,
+        )
+
+    if which == "pointnet_segmenter":
+        return PointNetSegmenter(
+            outdim=config["latent_dim"],
+            affinetrans=bool(config["model"].get("affinetrans")),
+        )
+
+    if which == "pointnet_segmenter_conv1d":
+        return PointNetSegmenterConv1d(
+            outdim=config["latent_dim"],
+            lambda_points=config["lambda_points"],
+            input_normals_only=bool(config.get("input_normals_only")),
+        )
+
+    if which == "pointnet2_segmenter_v1":
+        return PointNet2Segmenter(
+            outdim=config["latent_dim"],
+            input_orient_dim=orient_outdim,
+            lambda_points=config["lambda_points"],
+            ball_in_xyz_space=bool(config.get("ball_in_xyz_space")),
+        )
+
+    if which == "pointnet2_segmenter_paintnet_v1":
+        return PointNet2SegmenterPaintNet(
+            outdim_trasl=outdim - orient_outdim,
+            outdim_orient=orient_outdim,
+            weight_orient=config["weight_orient"],
+            lambda_points=config["lambda_points"],
+        )
+
+    if which == "pointnet2_3dbbox":
+        # 3D-bbox prototype regressor (reference models/__init__.py:84-87,
+        # models/pointnet2_cls_ssg.py:177-229): same SoP head with 6-d
+        # box encodings and no orientation normalization
+        return PointNet2SoPs(
+            out_vectors=config["out_prototypes"],
+            outdim=6,
+            outdim_orient=0,
+            hidden_size=hidden,
+            sop_confidence_scores=False,
+        )
+
+    if which == "mlp_rollout":
+        info = get_io_info("ODv1_strokeRollout", config)
+        return MLPRegressor(
+            out_vectors=info["out_vectors"],
+            outdim_trasl=info["outdim_trasl"],
+            outdim_orient=info["outdim_orient"],
+            weight_orient=config["weight_orient"],
+            hidden_sizes=tuple(config["model"].get("hidden_size",
+                                                   (1024, 1024))),
+            confidence_scores=info["end_of_path_confidence"],
+        )
+
+    if which == "point_transformer":
+        return PointTransformer(
+            input_dim=outdim * config["lambda_points"],
+            outdim=outdim * config["lambda_points"],
+            max_seq_len=int(config.get("max_seq_len", 100)),
+            weight_orient=config["weight_orient"],
+        )
+
+    if which == "dgcnn":
+        return DGCNNDiscriminator(k=int(config.get("knn_gcn", 20)))
 
     raise ValueError(f"unknown backbone: {which}")

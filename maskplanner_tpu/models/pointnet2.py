@@ -61,7 +61,8 @@ class SetAbstraction(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz, features, train: bool, fps_key=None):
+    def __call__(self, xyz, features, train: bool, fps_key=None,
+                 full_points=None):
         B, N, _ = xyz.shape
         if self.group_all:
             # single global group (models/pointnet2_utils.py:152-168)
@@ -75,12 +76,18 @@ class SetAbstraction(nn.Module):
             fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
             new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
             group_idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
-            grouped_xyz = index_points(xyz, group_idx)  # (B, S, K, 3)
-            grouped = grouped_xyz - new_xyz[:, :, None, :]
-            if features is not None:
-                grouped = jnp.concatenate(
-                    [grouped, index_points(features, group_idx)], axis=-1
-                )
+            if full_points is not None:
+                # group the full high-dim vectors while sampling/balling in
+                # R^3 (reference sample_and_group full_points path,
+                # models/pointnet2_utils.py:139-143)
+                grouped = index_points(full_points, group_idx)
+            else:
+                grouped_xyz = index_points(xyz, group_idx)  # (B, S, K, 3)
+                grouped = grouped_xyz - new_xyz[:, :, None, :]
+                if features is not None:
+                    grouped = jnp.concatenate(
+                        [grouped, index_points(features, group_idx)], axis=-1
+                    )
 
         feat = PointMLP(self.mlp, dtype=self.dtype)(grouped, train=train)
         new_features = jnp.max(feat, axis=-2)  # max over neighbourhood K

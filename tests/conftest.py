@@ -1,46 +1,47 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Multi-chip sharding is validated on host CPU devices. The container's
-sitecustomize registers a TPU PJRT plugin at interpreter start, which
-both selects the TPU platform and breaks
-``xla_force_host_platform_device_count``; the only reliable fix is to
-re-exec the test process with a sanitized environment before any jax
-import took effect.
+Tests run on CPU (forced before any jax backend initialization). Note:
+this container's sitecustomize registers a TPU PJRT plugin at interpreter
+start, which breaks ``xla_force_host_platform_device_count`` in-process —
+so multi-device sharding tests run through ``run_in_clean_subprocess``
+(sanitized env, N virtual CPU devices) instead of an in-process mesh;
+``__graft_entry__.dryrun_multichip`` uses the same fallback.
 """
 import os
+import subprocess
 import sys
 
-_SENTINEL = "MASKPLANNER_TPU_TEST_REEXEC"
-
-
-def _needs_reexec() -> bool:
-    if os.environ.get(_SENTINEL):
-        return False
-    pythonpath = os.environ.get("PYTHONPATH", "")
-    return "axon_site" in pythonpath or os.environ.get("JAX_PLATFORMS") not in (
-        None, "cpu")
-
-
-if _needs_reexec():
-    env = dict(os.environ)
-    env[_SENTINEL] = "1"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = ":".join(
-        p for p in env.get("PYTHONPATH", "").split(":")
-        if p and "axon_site" not in p)
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=8").strip()
-    os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]],
-               env)
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_in_clean_subprocess(code: str, n_devices: int = 8,
+                            timeout: int = 560) -> str:
+    """Run a python snippet with N virtual CPU devices in a sanitized env."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ":".join(
+        [REPO_ROOT] + [p for p in env.get("PYTHONPATH", "").split(":")
+                       if p and "axon_site" not in p])
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}").strip()
+    env.pop("MASKPLANNER_TPU_TEST_REEXEC", None)
+    result = subprocess.run([sys.executable, "-c", code], env=env,
+                            capture_output=True, text=True, timeout=timeout,
+                            cwd=REPO_ROOT)
+    assert result.returncode == 0, (
+        f"subprocess failed:\nstdout:\n{result.stdout}\nstderr:\n{result.stderr}")
+    return result.stdout
+
+
+@pytest.fixture
+def clean_subprocess():
+    return run_in_clean_subprocess
 
 
 @pytest.fixture

@@ -1,0 +1,100 @@
+"""Shape/finite checks for the model zoo (reference models/ parity)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from maskplanner_tpu.models import (
+    DGCNNDiscriminator,
+    MLPRegressor,
+    PointNet2Segmenter,
+    PointNet2SegmenterPaintNet,
+    PointNet2SoPs,
+    PointNet2StrokeWise,
+    PointNetRegressor,
+    PointNetSegmenter,
+    PointTransformer,
+    get_model,
+)
+from maskplanner_tpu.utils.args import load_args
+
+
+def _pc(rng, B=2, N=64, C=3):
+    return jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+
+class TestModelZoo:
+    def test_pointnet_regressor(self, rng):
+        m = PointNetRegressor(out_vectors=10, outdim=3, affinetrans=True)
+        v = m.init(jax.random.PRNGKey(0), _pc(rng), train=False)
+        out = m.apply(v, _pc(rng), train=False)
+        assert out.shape == (2, 10, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_pointnet_segmenter(self, rng):
+        m = PointNetSegmenter(outdim=8)
+        v = m.init(jax.random.PRNGKey(0), _pc(rng), train=False)
+        out = m.apply(v, _pc(rng), train=False)
+        assert out.shape == (2, 64, 8)
+
+    def test_pointnet2_segmenter_ball_in_xyz(self, rng):
+        m = PointNet2Segmenter(outdim=4, lambda_points=4,
+                               ball_in_xyz_space=True)
+        x = _pc(rng, N=40, C=24)  # 40 segments of lambda=4 x 6d poses
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out.shape == (2, 40, 4)
+
+    def test_pointnet2_segmenter_paintnet(self, rng):
+        m = PointNet2SegmenterPaintNet(lambda_points=2)
+        x = _pc(rng, N=48, C=3)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out.shape == (2, 48, 12)
+        # orientations unit-normalized * weight_orient
+        n = np.asarray(out).reshape(2, 48, 2, 6)[..., 3:]
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
+
+    def test_dgcnn_discriminator(self, rng):
+        m = DGCNNDiscriminator(k=8)
+        v = m.init(jax.random.PRNGKey(0), _pc(rng, N=32), train=False)
+        out = m.apply(v, _pc(rng, N=32), train=False)
+        assert out.shape == (2, 1)
+
+    def test_mlp_regressor_with_confidence(self, rng):
+        m = MLPRegressor(out_vectors=5, outdim_trasl=3, hidden_sizes=(32, 16),
+                         outdim_orient=3, confidence_scores=True)
+        x = jnp.asarray(rng.normal(size=(2, 12)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out, scores = m.apply(v, x, train=False)
+        assert out.shape == (2, 5, 6) and scores.shape == (2, 5, 1)
+
+    def test_strokewise(self, rng):
+        m = PointNet2StrokeWise(n_strokes=4, stroke_points=6,
+                                hidden_size=(64, 64))
+        v = m.init(jax.random.PRNGKey(0), _pc(rng), train=False)
+        strokes, point_conf, stroke_conf = m.apply(v, _pc(rng), train=False)
+        assert strokes.shape == (2, 4, 36)
+        assert point_conf.shape == (2, 4, 6)
+        assert stroke_conf.shape == (2, 4)
+
+    def test_point_transformer_teacher_forcing_and_ar(self, rng):
+        m = PointTransformer(d_model=32, nhead=2, num_layers=1,
+                             dim_feedforward=64, max_seq_len=6,
+                             input_dim=3, outdim=6)
+        src = _pc(rng, N=10)
+        tgt = jnp.asarray(rng.normal(size=(2, 5, 6)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), src, tgt, train=False)
+        pts, eos = m.apply(v, src, tgt, train=False)
+        assert pts.shape == (2, 6, 6) and eos.shape == (2, 6, 1)
+        pts_ar, eos_ar = m.apply(v, src, None, train=False)
+        assert pts_ar.shape == (2, 6, 6) and eos_ar.shape == (2, 6, 1)
+
+    def test_factory_sops(self, rng):
+        cfg = load_args(argv=["config=[maskplanner,cuboids_v2]",
+                              "out_prototypes=8", "pc_points=64"])
+        m = get_model(cfg, which="pointnet2_sops")
+        x = _pc(rng, N=64)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        tokens, conf = m.apply(v, x, train=False)
+        assert tokens.shape == (2, 8, 6)
