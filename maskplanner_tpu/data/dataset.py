@@ -224,7 +224,7 @@ class PaintDataset:
             ids_out[None, :] == np.arange(self.max_n_strokes)[:, None]
         ).astype(np.float32)
 
-        return {
+        item = {
             "point_cloud": pc.astype(np.float32),
             "traj": traj_out,
             "stroke_ids": ids_out,
@@ -233,6 +233,49 @@ class PaintDataset:
             "stroke_masks": stroke_masks,
             "n_strokes": np.int32(n_strokes),
         }
+        self._add_extras(item, segments, seg_ids, traj_as_pc, ids_as_pc, index)
+        return item
+
+    def _add_extras(self, item, segments, seg_ids, traj_as_pc, ids_as_pc,
+                    index):
+        """Optional load_extra_data items with static-shape padding
+        (reference paintnet_ODv1.py:360-484)."""
+        from . import extras
+
+        cfg = self.config
+        load = set(cfg.get("load_extra_data") or [])
+        M = self.max_n_strokes
+
+        if "stroke_prototypes" in load or cfg.get("load_stroke_prototypes"):
+            protos, order = extras.get_stroke_prototypes(
+                traj_as_pc, ids_as_pc,
+                kind=cfg.get("stroke_prototype_kind", "start_of_path_token"),
+                outdim=self.outdim,
+                start_of_path_token_length=int(
+                    cfg.get("start_of_path_token_length") or 4))
+            item["stroke_prototypes"] = extras.pad_prototypes(protos, M)
+
+        if "segments_per_stroke" in load:
+            sps, order2 = extras.get_vectors_per_stroke(segments, seg_ids)
+            pps, _ = extras.get_vectors_per_stroke(traj_as_pc, ids_as_pc)
+            max_seg = int(cfg.get("out_segments_per_stroke")
+                          or max(s.shape[0] for s in sps))
+            max_pts = int(cfg.get("out_points_per_stroke")
+                          or max(p.shape[0] for p in pps))
+            item["segments_per_stroke"], item["stroke_valid"] = \
+                extras.pad_vectors_per_stroke(sps, M, max_seg)
+            item["points_per_stroke"], _ = \
+                extras.pad_vectors_per_stroke(pps, M, max_pts)
+
+        if ("history_of_segments_per_stroke_v2" in load
+                and cfg.get("substroke_points")):
+            sps, order2 = extras.get_vectors_per_stroke(segments, seg_ids)
+            hist, tgt, pid, eop = extras.history_batches_v2(
+                sps, order2, int(cfg["substroke_points"]))
+            item["strokewise_history_batch"] = hist.astype(np.float32)
+            item["strokewise_target_batch"] = tgt.astype(np.float32)
+            item["strokewise_stroke_ids_batch"] = pid
+            item["strokewise_end_of_path_batch"] = eop
 
 
 def collate(items: list[dict]) -> dict:

@@ -47,6 +47,23 @@ def concat_segments_of_stroke(traj: np.ndarray, stroke_ids, config,
     d2 = ((ends[:, None, :] - starts[None, :, :]) ** 2).sum(-1)  # end_i -> start_j
     nn_idx = np.argsort(d2, axis=1)[:, :k]
 
+    # native fast path (C++ Chu-Liu/Edmonds, native/ocmg_native.cpp) —
+    # virtual-root formulation also handles disconnected segment graphs
+    from . import native
+
+    if native.available():
+        big = RADIUS
+        masked = np.full_like(d2, big * 10.0)
+        rows = np.repeat(np.arange(n), k)
+        cols = nn_idx.reshape(-1)
+        keep = (rows != cols) & (d2[rows, cols] < RADIUS)
+        masked[rows[keep], cols[keep]] = d2[rows[keep], cols[keep]]
+        path = native.edmonds_longest_path(masked, big=big * 5.0)
+        if path:
+            if verbose and len(path) != n:
+                print(f"stroke concat dropped {n - len(path)}/{n} segments")
+            return traj[path].copy()
+
     G = nx.DiGraph()
     G.add_nodes_from(range(n))
     for i in range(n):

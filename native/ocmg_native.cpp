@@ -1,0 +1,275 @@
+// Native host-side kernels for the OCMG postprocess pipeline.
+//
+// Replaces the Python/networkx algorithmic hot spots of the reference's
+// postprocessing (utils/cluster.py:83-89 Edmonds minimum spanning
+// arborescence + dag_longest_path; scipy linear_sum_assignment at
+// utils/postprocessing.py:522):
+//
+//  - chu_liu_edmonds_path: minimum spanning arborescence of a dense
+//    directed distance graph (virtual-root formulation, Chu-Liu/Edmonds)
+//    followed by the unweighted longest root-to-leaf path — the segment
+//    ordering used by concat_segments_of_stroke.
+//  - solve_lap: Jonker-Volgenant shortest augmenting path LAP.
+//
+// Exposed with a C ABI for ctypes binding (no pybind11 in this image).
+//
+// Build: make -C native    (g++ -O3 -shared -fPIC)
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+constexpr double INF = std::numeric_limits<double>::infinity();
+
+// Chu-Liu/Edmonds minimum arborescence rooted at `root` on a dense cost
+// matrix (cost[i*n+j] = weight of edge i->j, INF = absent).
+// Returns parent[] over original nodes (parent[root] = -1), or false if
+// some node is unreachable.
+bool chu_liu_edmonds(int n, int root, const std::vector<double>& cost,
+                     std::vector<int>& parent_out) {
+  struct EdgeOrig { int u, v; };  // original endpoints an edge represents
+  struct Level {
+    std::vector<int> in_edge_from;       // chosen parent per local node
+    std::vector<EdgeOrig> in_edge_orig;  // original edge per local node
+    std::vector<char> in_cycle;          // local cycle membership
+    std::vector<int> map;                // original node -> local id
+  };
+
+  int N = n;
+  std::vector<double> c = cost;
+  std::vector<EdgeOrig> orig(static_cast<size_t>(N) * N);
+  for (int i = 0; i < N; ++i)
+    for (int j = 0; j < N; ++j) orig[i * N + j] = {i, j};
+  std::vector<int> map_cur(n);  // original -> current local id
+  for (int i = 0; i < n; ++i) map_cur[i] = i;
+
+  std::vector<Level> levels;
+  int cur_root = root;
+
+  while (true) {
+    std::vector<int> in_from(N, -1);
+    std::vector<double> in_w(N, INF);
+    std::vector<EdgeOrig> in_orig(N, {-1, -1});
+    for (int j = 0; j < N; ++j) {
+      if (j == cur_root) continue;
+      for (int i = 0; i < N; ++i) {
+        if (i == j) continue;
+        double w = c[i * N + j];
+        if (w < in_w[j]) { in_w[j] = w; in_from[j] = i; in_orig[j] = orig[i * N + j]; }
+      }
+      if (in_from[j] < 0) return false;  // unreachable
+    }
+
+    // cycle detection over the chosen-parent functional graph
+    std::vector<int> color(N, 0);
+    int cycle_start = -1;
+    for (int s = 0; s < N && cycle_start < 0; ++s) {
+      if (color[s]) continue;
+      int v = s;
+      while (v != -1 && color[v] == 0) {
+        color[v] = 1;
+        v = (v == cur_root) ? -1 : in_from[v];
+      }
+      if (v != -1 && color[v] == 1) { cycle_start = v; }
+      int u = s;
+      while (u != -1 && color[u] == 1) { color[u] = 2; u = (u == cur_root) ? -1 : in_from[u]; }
+    }
+
+    Level lvl;
+    lvl.in_edge_from = in_from;
+    lvl.in_edge_orig = in_orig;
+    lvl.map = map_cur;
+    lvl.in_cycle.assign(N, 0);
+
+    if (cycle_start < 0) {  // arborescence found at this level
+      levels.push_back(std::move(lvl));
+      break;
+    }
+
+    {
+      int v = cycle_start;
+      do { lvl.in_cycle[v] = 1; v = in_from[v]; } while (v != cycle_start);
+    }
+
+    // contract the cycle
+    std::vector<int> cyc_id(N, -1);
+    int n_next = 0;
+    for (int i = 0; i < N; ++i) if (!lvl.in_cycle[i]) cyc_id[i] = n_next++;
+    int cyc_node = n_next++;
+    for (int i = 0; i < N; ++i) if (lvl.in_cycle[i]) cyc_id[i] = cyc_node;
+
+    std::vector<double> c2(static_cast<size_t>(n_next) * n_next, INF);
+    std::vector<EdgeOrig> orig2(static_cast<size_t>(n_next) * n_next, {-1, -1});
+    for (int i = 0; i < N; ++i) {
+      for (int j = 0; j < N; ++j) {
+        if (i == j || c[i * N + j] == INF) continue;
+        int ni = cyc_id[i], nj = cyc_id[j];
+        if (ni == nj) continue;
+        double w = c[i * N + j];
+        if (lvl.in_cycle[j]) w -= in_w[j];  // reweight edges into the cycle
+        if (w < c2[ni * n_next + nj]) {
+          c2[ni * n_next + nj] = w;
+          orig2[ni * n_next + nj] = orig[i * N + j];
+        }
+      }
+    }
+
+    levels.push_back(std::move(lvl));
+    for (int o = 0; o < n; ++o) map_cur[o] = cyc_id[map_cur[o]];
+    cur_root = cyc_id[cur_root];
+    c = std::move(c2);
+    orig = std::move(orig2);
+    N = n_next;
+  }
+
+  // Expansion: start from the top arborescence's chosen original edges,
+  // then for each contracted level add the cycle's internal edges except
+  // the one entering the node where the external edge lands.
+  std::vector<EdgeOrig> selected;
+  {
+    const Level& top = levels.back();
+    for (size_t j = 0; j < top.in_edge_from.size(); ++j)
+      if (top.in_edge_from[j] >= 0 && top.in_edge_orig[j].u >= 0)
+        selected.push_back(top.in_edge_orig[j]);
+  }
+  for (int li = static_cast<int>(levels.size()) - 2; li >= 0; --li) {
+    const Level& lvl = levels[li];
+    // the selected edge entering this level's cycle (by original target)
+    int entry_local = -1;
+    for (const auto& e : selected) {
+      int t = lvl.map[e.v];
+      if (t >= 0 && lvl.in_cycle[t]) { entry_local = t; break; }
+    }
+    for (size_t j = 0; j < lvl.in_cycle.size(); ++j) {
+      if (!lvl.in_cycle[j] || static_cast<int>(j) == entry_local) continue;
+      selected.push_back(lvl.in_edge_orig[j]);
+    }
+  }
+
+  parent_out.assign(n, -1);
+  for (const auto& e : selected)
+    if (e.v >= 0 && e.v < n && e.u >= 0) parent_out[e.v] = e.u;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Minimum spanning arborescence over a dense directed cost matrix
+// (INF/huge = missing edge) with a virtual root connected to every node,
+// then the longest (by hop count) path of the resulting branching.
+// d2: n*n row-major costs. out_path: caller-allocated n ints.
+// Returns path length (>0) or 0 on failure.
+int chu_liu_edmonds_path(const double* d2, int n, double big,
+                         int* out_path) {
+  if (n <= 0) return 0;
+  if (n == 1) { out_path[0] = 0; return 1; }
+  int m = n + 1;  // + virtual root (index n)
+  std::vector<double> cost(static_cast<size_t>(m) * m, INF);
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j)
+      if (i != j && d2[i * n + j] < big) cost[i * m + j] = d2[i * n + j];
+  for (int j = 0; j < n; ++j) cost[n * m + j] = big;  // virtual root edges
+
+  std::vector<int> parent;
+  if (!chu_liu_edmonds(m, n, cost, parent)) return 0;
+
+  // children lists over real nodes (edges from virtual root start trees)
+  std::vector<std::vector<int>> children(m);
+  for (int v = 0; v < n; ++v)
+    if (parent[v] >= 0) children[parent[v]].push_back(v);
+
+  // longest path from any tree root: DFS depth + backtrack
+  std::vector<int> best_path;
+  std::vector<int> stack_nodes, stack_child_idx, cur;
+  for (int r : children[n]) {
+    // iterative DFS tracking the current path
+    cur.clear();
+    stack_nodes.assign(1, r);
+    stack_child_idx.assign(1, 0);
+    cur.push_back(r);
+    if (cur.size() > best_path.size()) best_path = cur;
+    while (!stack_nodes.empty()) {
+      int node = stack_nodes.back();
+      int ci = stack_child_idx.back();
+      if (ci < static_cast<int>(children[node].size())) {
+        int nxt = children[node][ci];
+        ++stack_child_idx.back();
+        stack_nodes.push_back(nxt);
+        stack_child_idx.push_back(0);
+        cur.push_back(nxt);
+        if (cur.size() > best_path.size()) best_path = cur;
+      } else {
+        stack_nodes.pop_back();
+        stack_child_idx.pop_back();
+        cur.pop_back();
+      }
+    }
+  }
+  for (size_t i = 0; i < best_path.size(); ++i) out_path[i] = best_path[i];
+  return static_cast<int>(best_path.size());
+}
+
+// Jonker-Volgenant shortest augmenting path LAP on a dense row-major cost
+// matrix (n_rows >= n_cols required). row4col[j] = assigned row of col j.
+void solve_lap(const double* cost, int n_rows, int n_cols, int* row4col) {
+  int n = n_rows > n_cols ? n_rows : n_cols;
+  double big = 0.0;
+  for (int i = 0; i < n_rows * n_cols; ++i)
+    big = std::fmax(big, std::fabs(cost[i]));
+  big = big * 2.0 + 1.0;
+
+  std::vector<double> c(static_cast<size_t>(n) * n, big);
+  for (int i = 0; i < n_rows; ++i)
+    for (int j = 0; j < n_cols; ++j) c[i * n + j] = cost[i * n_cols + j];
+
+  std::vector<double> u(n, 0.0), v(n, 0.0), shortest(n);
+  std::vector<int> col4row(n, -1), r4c(n, -1), path(n);
+  std::vector<char> sr(n), sc(n);
+
+  for (int cur_row = 0; cur_row < n; ++cur_row) {
+    std::fill(shortest.begin(), shortest.end(), INF);
+    std::fill(path.begin(), path.end(), -1);
+    std::fill(sr.begin(), sr.end(), 0);
+    std::fill(sc.begin(), sc.end(), 0);
+    int i = cur_row, sink = -1;
+    double minval = 0.0;
+    while (sink < 0) {
+      sr[i] = 1;
+      double lowest = INF;
+      int jlow = -1;
+      for (int j = 0; j < n; ++j) {
+        if (sc[j]) continue;
+        double d = minval + c[i * n + j] - u[i] - v[j];
+        if (d < shortest[j]) { shortest[j] = d; path[j] = i; }
+        if (shortest[j] < lowest) { lowest = shortest[j]; jlow = j; }
+      }
+      minval = lowest;
+      sc[jlow] = 1;
+      if (r4c[jlow] < 0) sink = jlow;
+      else i = r4c[jlow];
+    }
+    u[cur_row] += minval;
+    for (int k = 0; k < n; ++k) {
+      if (sr[k] && k != cur_row) u[k] += minval - shortest[col4row[k]];
+      if (sc[k]) v[k] += shortest[k] - minval;
+    }
+    int j = sink;
+    while (true) {
+      int pi = path[j];
+      r4c[j] = pi;
+      int prev = col4row[pi];
+      col4row[pi] = j;
+      if (pi == cur_row) break;
+      j = prev;
+    }
+  }
+  for (int j = 0; j < n_cols; ++j) row4col[j] = r4c[j];
+}
+
+}  // extern "C"
