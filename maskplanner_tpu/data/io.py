@@ -46,6 +46,28 @@ def get_dataset_downscale_factor(category: str):
     return DATASET_DOWNSCALE_FACTORS.get(category)
 
 
+def get_auxiliary_pretrained_custom_path(dataset, version: int = 2) -> str:
+    """Path of the auxiliary SoP pretrained run per category
+    (reference utils/disk.py:46-68)."""
+    category = get_dataset_name(dataset)
+    if version == 1:
+        table = {
+            "cuboids-v2": "pretrained_models/4T4BI-S42",
+            "windows-v2": "pretrained_models/0WCLK-S42",
+            "shelves-v2": "pretrained_models/TZOV8-S42",
+            "containers-v2": "pretrained_models/CN000-S42",
+        }
+    else:
+        table = {
+            "cuboids-v2": "pretrained_models/sop_cuboids-v2/36FNJ-S46",
+            "windows-v2": "pretrained_models/sop_windows-v2/I66C6-S48",
+            "shelves-v2": "pretrained_models/sop_shelves-v2/39LI2-S46",
+            "containers-v2": "pretrained_models/sop_containers/VDGKO-S47",
+            "realtime_windows-v1": "pretrained_models/sop_windows-v2/I66C6-S48",
+        }
+    return table[category]
+
+
 def get_dataset_name(dataset) -> str:
     """Joint-category list -> joined name (reference utils/disk.py:77-84)."""
     if isinstance(dataset, str):

@@ -166,6 +166,11 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
     orient_outdim = get_dim_orient_traj_points(config["extra_data"])
     hidden = tuple(config["model"].get("hidden_size", (1024, 1024)))
 
+    if which == "pointnet2_strokemasks_retrocompatible":
+        # the reference twin differs only in a layer name
+        # (models/pointnet2_cls_ssg.py:348-459); same module here
+        which = "pointnet2_strokemasks"
+
     if which == "pointnet2_strokemasks":
         info = get_io_info("MaskPlanner", config)
         return PointNet2StrokeMasks(

@@ -1,0 +1,80 @@
+"""Farthest point sampling Pallas kernel.
+
+The reference's FPS is a Python loop of ``npoint`` GPU launches
+(models/pointnet2_utils.py:79-85); the XLA fallback here is a fori_loop of
+fused ops. This kernel runs the entire iteration chain inside one Pallas
+program with the point cloud and running min-distances resident in VMEM —
+no per-iteration HBM traffic — and the per-step centroid gather becomes a
+one-hot contraction on the VPU.
+
+Layout: channel-sublane (BB, C, N) blocks (lane axis = N) with a grid over
+batch chunks; batch-parallel distance updates keep the VPU fully occupied.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e10
+
+
+def _kernel(xyz_ref, out_ref, *, npoint: int):
+    # xyz_ref: (BB, C, N); out_ref: (BB, npoint) int32
+    BB = xyz_ref.shape[0]
+    N = xyz_ref.shape[2]
+    x0 = xyz_ref[:, 0, :]  # (BB, N)
+    x1 = xyz_ref[:, 1, :]
+    x2 = xyz_ref[:, 2, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (BB, N), 1)
+    col_out = jax.lax.broadcasted_iota(jnp.int32, (BB, npoint), 1)
+
+    def body(i, carry):
+        farthest, dist, acc = carry
+        # record selection via one-hot accumulate (Mosaic has no unaligned
+        # dynamic lane stores)
+        acc = acc + jnp.where(col_out == i, farthest[:, None], 0)
+        onehot = (col == farthest[:, None]).astype(jnp.float32)
+        # per-coordinate centroid then squared distance (VPU)
+        c0 = jnp.sum(onehot * x0, axis=1)[:, None]
+        c1 = jnp.sum(onehot * x1, axis=1)[:, None]
+        c2 = jnp.sum(onehot * x2, axis=1)[:, None]
+        d = (x0 - c0) ** 2 + (x1 - c1) ** 2 + (x2 - c2) ** 2
+        dist = jnp.minimum(dist, d)
+        nxt = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+        return nxt, dist, acc
+
+    _, _, acc = jax.lax.fori_loop(
+        0, npoint, body,
+        (jnp.zeros((BB,), jnp.int32),
+         jnp.full((BB, N), _BIG, jnp.float32),
+         jnp.zeros((BB, npoint), jnp.int32)))
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "batch_tile"))
+def fps_pallas(xyz: jax.Array, npoint: int, batch_tile: int = 8) -> jax.Array:
+    """(B, N, 3) -> (B, npoint) int32 FPS indices (start index 0)."""
+    B, N, _ = xyz.shape
+    # keep the batch tile at >= 8 sublanes even for tiny batches — Mosaic
+    # can't lower some single-sublane broadcasts (observed at bt=1); the
+    # batch axis is padded up instead
+    bt = batch_tile
+    pad_b = (-B) % bt
+    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
+    if pad_b:
+        xyz_t = jnp.pad(xyz_t, ((0, pad_b), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, npoint=npoint),
+        out_shape=jax.ShapeDtypeStruct((B + pad_b, npoint), jnp.int32),
+        grid=(pl.cdiv(B + pad_b, bt),),
+        in_specs=[pl.BlockSpec((bt, 3, N), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bt, npoint), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+    )(xyz_t)
+    return out[:B]

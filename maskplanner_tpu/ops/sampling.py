@@ -17,6 +17,8 @@ TPU-native reimplementation of the PointNet++ primitives
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -24,6 +26,17 @@ from jax import Array
 from .distance import square_distance
 
 _BIG = 1e10
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels activate on TPU-family backends (opt out with
+    MASKPLANNER_NO_PALLAS=1)."""
+    if os.environ.get("MASKPLANNER_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def index_points(points: Array, idx: Array) -> Array:
@@ -61,6 +74,10 @@ def farthest_point_sample(
     (B, npoint) int32 indices.
     """
     B, N, _ = xyz.shape
+    if key is None and mask is None and start_idx == 0 and _use_pallas():
+        from .pallas.fps import fps_pallas
+
+        return fps_pallas(xyz, npoint)
     if key is not None:
         farthest0 = jax.random.randint(key, (B,), 0, N)
     else:
@@ -106,6 +123,12 @@ def query_ball_point(
     xyz: (B, N, 3); new_xyz: (B, S, 3) -> (B, S, nsample) int32.
     """
     B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    if mask is None and _use_pallas() and N >= 256 and S >= 16:
+        from .pallas.ball_query import ball_query_pallas
+
+        tile = 128 if S % 128 == 0 else (64 if S % 64 == 0 else S)
+        return ball_query_pallas(radius, nsample, xyz, new_xyz, tile_s=tile)
     sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
     within = sqrdists <= radius**2
     if mask is not None:

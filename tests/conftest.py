@@ -13,6 +13,14 @@ import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# The container's sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon (real TPU via tunnel); the env var above is read too
+# late, so force the platform through the config (backends are registered
+# but not yet initialized at conftest time).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -96,6 +96,24 @@ def main(config=None):
     eval_step = make_eval_step(model, loss_handler, config)
     forward = make_forward(model)
 
+    # ---- transfer-learning init (reference models/__init__.py:386-426) ----
+    pretrained_custom = config["model"].get("pretrained_custom")
+    if pretrained_custom:
+        if checkpoints.checkpoint_exists(pretrained_custom, "last_checkpoint"):
+            state = checkpoints.load_params_only(
+                pretrained_custom, "last_checkpoint", state,
+                filter_heads=not config["model"].get("load_strict"))
+            print(f"Initialized from pretrained run {pretrained_custom}")
+        else:
+            print(f"WARNING: pretrained_custom {pretrained_custom} has no "
+                  f"last_checkpoint; training from scratch")
+    elif config["model"].get("pretrained"):
+        # the reference warm-starts the encoder from a ShapeNet-pretrained
+        # torch checkpoint (pretrained_models/pointnet2_cls_ssg.pth, stripped
+        # from the reference repo); no equivalent artifact exists here, so
+        # encoder training starts from random init.
+        pass
+
     # ---- resume (new capability vs reference) ------------------------------
     start_epoch = 0
     if config.get("resume") and checkpoints.checkpoint_exists(run_dir,
@@ -110,16 +128,21 @@ def main(config=None):
     eval_loss = float("nan")
     t_train0 = time.time()
 
+    from maskplanner_tpu.utils.profiling import profile_trace
+
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         epoch_loss, epoch_terms, n_batches = 0.0, {}, 0
-        for batch in tr_loader.epoch(epoch):
-            device_batch = shard_batch(batch, mesh)
-            state, loss, terms = train_step(state, device_batch, weights, rng)
-            epoch_loss += float(loss)
-            for k, v in terms.items():
-                epoch_terms[k] = epoch_terms.get(k, 0.0) + float(v)
-            n_batches += 1
+        do_profile = bool(config.get("profile")) and epoch == start_epoch + 1
+        with profile_trace(run_dir, enabled=do_profile):
+            for batch in tr_loader.epoch(epoch):
+                device_batch = shard_batch(batch, mesh)
+                state, loss, terms = train_step(state, device_batch, weights,
+                                                rng)
+                epoch_loss += float(loss)
+                for k, v in terms.items():
+                    epoch_terms[k] = epoch_terms.get(k, 0.0) + float(v)
+                n_batches += 1
         epoch_loss /= n_batches
         log = {"train_loss": epoch_loss, "epoch": epoch + 1,
                "epoch_seconds": time.time() - t0}
