@@ -160,6 +160,21 @@ def save_traj_file(traj: np.ndarray, filepath: str, kind: str = "normals"):
             print(";".join(map(str, row)), file=f)
 
 
+def save_object(obj, save_dir: str, filename: str):
+    """Pickle helper (reference utils/disk.py:291-297)."""
+    import pickle
+
+    with open(os.path.join(save_dir, f"{filename}.pkl"), "wb") as fh:
+        pickle.dump(obj, fh, pickle.HIGHEST_PROTOCOL)
+
+
+def load_object(filepath: str):
+    import pickle
+
+    with open(filepath, "rb") as fh:
+        return pickle.load(fh)
+
+
 # ---------------------------------------------------------------------------
 # Mesh loading + surface sampling (point_cloud_utils replacement)
 # ---------------------------------------------------------------------------
@@ -239,10 +254,12 @@ def read_mesh_as_pointcloud(filename: str, n_points: int = 10000,
                             return_more: bool = False):
     """OBJ mesh -> ~n_points surface samples
     (reference utils/disk.py:274-288)."""
+    import zlib
+
     v, f = load_obj(filename)
-    points = sample_mesh_surface(v, f, n_points,
-                                 seed=abs(hash(os.path.basename(filename)))
-                                 % (2**31))
+    points = sample_mesh_surface(
+        v, f, n_points,
+        seed=zlib.crc32(os.path.basename(filename).encode()))
     if return_more:
         centroid = v.mean(axis=0)
         max_distance = np.linalg.norm(v - centroid, axis=1).max()

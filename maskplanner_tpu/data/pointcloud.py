@@ -155,6 +155,18 @@ def from_seq_to_pc(traj, extra_data, stroke_ids=None):
     return pts
 
 
+def from_seq_to_pc_v2(traj, stroke_ids, config):
+    """As from_seq_to_pc but drops fake rows anywhere and expands ids
+    (reference utils/pointcloud.py:160-180)."""
+    outdim = get_dim_traj_points(config["extra_data"])
+    lam = int(config["lambda_points"])
+    if traj.shape[-1] == outdim:
+        return traj, stroke_ids
+    rows, ids = remove_padding_v2(traj, stroke_ids)
+    pts = rows.reshape(-1, outdim)
+    return pts, np.repeat(ids, lam)
+
+
 def from_pc_to_seq(traj, traj_points, lambda_points, overlapping, extra_data,
                    padding=True):
     """Point cloud of poses -> λ-segment rows (reference utils/pointcloud.py:183-191)."""

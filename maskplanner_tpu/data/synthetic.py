@@ -73,10 +73,12 @@ def generate_sample(category: str, index: int, pc_points: int = 5120,
     traj        : (T, 6) float32 — [x,y,z,nx,ny,nz] poses, unnormalized
     stroke_ids  : (T,) int64 — contiguous per-stroke ids
     """
+    import zlib
+
     preset = CATEGORY_PRESETS.get(category, CATEGORY_PRESETS["cuboids-v2"])
-    rng = np.random.default_rng(
-        np.random.SeedSequence([hash(category) & 0x7FFFFFFF, index, seed])
-    )
+    # stable across processes (builtin hash() is PYTHONHASHSEED-randomized)
+    cat_seed = zlib.crc32(category.encode())
+    rng = np.random.default_rng(np.random.SeedSequence([cat_seed, index, seed]))
     dims = rng.uniform(*preset["size"], size=3)
     standoff = 0.15 * dims.mean()
 

@@ -165,6 +165,9 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
     outdim = get_dim_traj_points(config["extra_data"])
     orient_outdim = get_dim_orient_traj_points(config["extra_data"])
     hidden = tuple(config["model"].get("hidden_size", (1024, 1024)))
+    # bf16 compute (params stay f32; BatchNorm/normalizations run f32):
+    # halves MXU/HBM cost of the conv-MLP and head matmuls
+    dtype = jnp.bfloat16 if config["model"].get("bf16") else jnp.float32
 
     if which == "pointnet2_strokemasks_retrocompatible":
         # the reference twin differs only in a layer name
@@ -184,6 +187,7 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
             n_stroke_masks=info["n_stroke_masks"],
             mask_confidence_scores=True,
             segment_confidence_scores=bool(config.get("per_segment_confidence")),
+            dtype=dtype,
         )
 
     if which == "pointnet2":
@@ -195,6 +199,7 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
             weight_orient=config["weight_orient"],
             lambda_points=config["lambda_points"],
             hidden_size=hidden,
+            dtype=dtype,
         )
 
     if which == "pointnet2_sops":

@@ -47,15 +47,16 @@ def build_loss_batch(out, batch, config) -> dict:
         pc_mask=batch["stroke_ids_as_pc"] >= 0,
         stroke_ids=batch["stroke_ids"],
     )
+    f32 = lambda x: None if x is None else x.astype(jnp.float32)
     if isinstance(out, MaskPlannerOutput):
         lb.update(
-            y_pred=out.traj,
-            pred_stroke_masks=out.stroke_masks,
-            mask_scores=out.mask_scores,
-            seg_logits=out.seg_conf,
+            y_pred=f32(out.traj),
+            pred_stroke_masks=f32(out.stroke_masks),
+            mask_scores=f32(out.mask_scores),
+            seg_logits=f32(out.seg_conf),
         )
     else:
-        lb["y_pred"] = out
+        lb["y_pred"] = f32(out)
     return lb
 
 

@@ -35,7 +35,8 @@ DEFAULT = {
     "output_dir": None, "debug": False, "no_save": False, "seed": 0,
     "model": {"backbone": "pointnet2_strokemasks", "affinetrans": False,
               "hidden_size": [1024, 1024], "pretrained": True,
-              "pretrained_custom": None, "load_strict": False},
+              "pretrained_custom": None, "load_strict": False,
+              "bf16": False},
     # loss weights
     "soft_attraction": False,
     "weight_chamfer": 1.0, "weight_attraction_chamfer": 1.0,

@@ -10,7 +10,7 @@ from maskplanner_tpu.utils.args import load_args
 def tiny_config(tmp_path, **over):
     argv = ["config=[maskplanner,cuboids_v2,longx_v2,debug]",
             "pc_points=64", "n_pred_traj_points=80", "batch_size=2",
-            "epochs=2", "eval_freq=1", "dataset_size=2",
+            "epochs=4", "eval_freq=2", "dataset_size=2",
             "test_dataset_size=2", "no_save=false", "seed=1",
             f"output_dir={tmp_path}"]
     argv += [f"{k}={v}" for k, v in over.items()]
@@ -29,13 +29,13 @@ class TestTrainDriver:
         results = os.listdir(os.path.join(run_dir, "results"))
         assert any("test_batch" in f for f in results)
 
-        # loss decreased over 2 epochs (synthetic overfit-able data)
+        # loss decreases over 4 epochs (deterministic synthetic data, seed 1)
         import json
 
         logs = [json.loads(l) for l in
                 open(os.path.join(run_dir, "logs.jsonl"))]
         losses = [l["train_loss"] for l in logs if "train_loss" in l]
-        assert len(losses) == 2 and losses[1] < losses[0]
+        assert len(losses) == 4 and losses[-1] < losses[0]
 
     def test_resume_continues_from_checkpoint(self, tmp_path):
         import train_maskplanner
@@ -54,7 +54,7 @@ class TestTrainDriver:
                                    np.zeros((1, 64, 3), np.float32))
         restored, epoch = checkpoints.load_checkpoint(run_dir,
                                                       "last_checkpoint", fresh)
-        assert epoch == 2
+        assert epoch == 4
         assert int(restored.step) > 0
         # params actually restored (differ from fresh init)
         p0 = jax.tree.leaves(fresh.params)[0]

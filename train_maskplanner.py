@@ -128,22 +128,45 @@ def main(config=None):
     eval_loss = float("nan")
     t_train0 = time.time()
 
+    # graceful preemption: SIGTERM/SIGINT checkpoint before exit (failure
+    # recovery the reference lacks, SURVEY.md §5); resume=true picks it up
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_term)
+        except ValueError:
+            pass
+
     from maskplanner_tpu.utils.profiling import profile_trace
+    from maskplanner_tpu.data.prefetch import Prefetcher
+
+    prefetcher = Prefetcher(tr_loader, mesh)
 
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         epoch_loss, epoch_terms, n_batches = 0.0, {}, 0
         do_profile = bool(config.get("profile")) and epoch == start_epoch + 1
+        # accumulate on device; a single host sync per epoch keeps the step
+        # stream fully async (per-step float() would stall the pipeline)
+        loss_acc, term_acc = [], []
         with profile_trace(run_dir, enabled=do_profile):
-            for batch in tr_loader.epoch(epoch):
-                device_batch = shard_batch(batch, mesh)
+            for device_batch in prefetcher.epoch(epoch):
                 state, loss, terms = train_step(state, device_batch, weights,
                                                 rng)
-                epoch_loss += float(loss)
-                for k, v in terms.items():
-                    epoch_terms[k] = epoch_terms.get(k, 0.0) + float(v)
+                loss_acc.append(loss)
+                term_acc.append(terms)
                 n_batches += 1
-        epoch_loss /= n_batches
+        epoch_loss = float(sum(loss_acc)) / n_batches
+        for terms in term_acc:
+            for k, v in terms.items():
+                epoch_terms[k] = epoch_terms.get(k, 0.0) + float(v)
         log = {"train_loss": epoch_loss, "epoch": epoch + 1,
                "epoch_seconds": time.time() - t0}
         log.update({f"{k}_train_loss": v / n_batches
@@ -178,6 +201,14 @@ def main(config=None):
         if psacd is not None and psacd.is_time_to_step(epoch, epochs):
             weights = psacd.step_loss_weights(weights)
         weights = apply_delayed_activations(config, weights, epoch)
+
+        if preempted["flag"]:
+            if not config.get("no_save"):
+                checkpoints.save_checkpoint(run_dir, "last_checkpoint", state,
+                                            epoch + 1, epoch_loss)
+                print(f"Preempted at epoch {epoch + 1}; checkpoint saved "
+                      f"(resume with resume=true)")
+            break
 
     tot_train = time.time() - t_train0
     run.summary["best_epoch"] = best_epoch
