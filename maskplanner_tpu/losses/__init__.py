@@ -243,7 +243,13 @@ class LossHandler:
 
         def gan_loss(b, w, r):
             # trainer threads the AdversarialLoss module + its state via the
-            # batch; the discriminator update runs outside the generator grad
+            # batch; the discriminator update runs outside the generator grad.
+            # Without a module (eval loop, non-GAN steps) the term is 0 —
+            # the adversarial signal is a training-only objective.
+            if b.get("gan_module") is None:
+                import jax.numpy as _jnp
+
+                return _jnp.float32(0.0)
             return b["gan_module"].generator_loss(b["gan_state"], b["y_pred"])
 
         table["discriminator"] = gan_loss

@@ -25,9 +25,39 @@ import jax.numpy as jnp
 from jax import Array
 
 from .distance import square_distance
+from .sampling import _use_pallas
 
 _BIG = 1e10
 PAD_VALUE = -100.0
+
+
+def _pallas_nn_ok(x: Array, y: Array) -> bool:
+    """Fused NN-argmin kernel pays off once the (P1, P2) distance matrix is
+    big enough that its HBM round-trip dominates; tiny matrices stay on the
+    fully-fused XLA path."""
+    P1, P2, D = x.shape[1], y.shape[1], x.shape[2]
+    return _use_pallas() and D <= 128 and P1 * P2 >= 128 * 128
+
+
+def _nn_gather_chamfer(x, y, x_mask, y_mask, need_x=True, need_y=True):
+    """Matched indices + squared distances via the Pallas argmin kernel;
+    distances recomputed by gather (exact f32, differentiable — identical
+    gradient routing to jnp.min over the distance matrix). Directions not
+    needed by the asymmetric variants are skipped entirely."""
+    from .pallas.nn_argmin import nn_argmin_pallas
+
+    zx = jnp.zeros(x.shape[:2], jnp.float32)
+    zy = jnp.zeros(y.shape[:2], jnp.float32)
+    cham_x, cham_y, x_idx, y_idx = zx, zy, None, None
+    if need_x:
+        x_idx = nn_argmin_pallas(x, y, y_mask)
+        x_nn = jnp.take_along_axis(y, x_idx[..., None], axis=1)
+        cham_x = jnp.sum((x - x_nn) ** 2, axis=-1)
+    if need_y:
+        y_idx = nn_argmin_pallas(y, x, x_mask)
+        y_nn = jnp.take_along_axis(x, y_idx[..., None], axis=1)
+        cham_y = jnp.sum((y - y_nn) ** 2, axis=-1)
+    return cham_x, cham_y, x_idx, y_idx
 
 
 def mask_from_padding(y: Array, pad_value: float = PAD_VALUE) -> Array:
@@ -111,15 +141,26 @@ def chamfer_distance(
     if velocities:
         # NN search on positions only; distance on full pose+velocity vector
         # (pytorch3d_chamfer.py:180-198).
-        d_pos = square_distance(x[..., :3], y[..., :3])
-        _, x_idx = _masked_min(d_pos, y_mask)
-        _, y_idx = _masked_min(jnp.swapaxes(d_pos, -1, -2), x_mask)
+        if _pallas_nn_ok(x, y):
+            from .pallas.nn_argmin import nn_argmin_pallas
+
+            x_idx = nn_argmin_pallas(x[..., :3], y[..., :3], y_mask)
+            y_idx = nn_argmin_pallas(y[..., :3], x[..., :3], x_mask)
+        else:
+            d_pos = square_distance(x[..., :3], y[..., :3])
+            _, x_idx = _masked_min(d_pos, y_mask)
+            _, y_idx = _masked_min(jnp.swapaxes(d_pos, -1, -2), x_mask)
         x_nn = jnp.take_along_axis(y, x_idx[..., None], axis=1)
         y_nn = jnp.take_along_axis(x, y_idx[..., None], axis=1)
         cham_x = jnp.sum((x - x_nn) ** 2, axis=-1)
         cham_y = jnp.sum((y - y_nn) ** 2, axis=-1)
     elif avoid_in_sequence_collapsing:
         return _attraction_chamfer(x, y, soft=soft_attraction)
+    elif _pallas_nn_ok(x, y):
+        cham_x, cham_y, x_idx, y_idx = _nn_gather_chamfer(
+            x, y, x_mask, y_mask,
+            need_x=not reverse_asymmetric or return_matching,
+            need_y=not asymmetric or return_matching)
     else:
         d = square_distance(x, y)
         cham_x, x_idx = _masked_min(d, y_mask)

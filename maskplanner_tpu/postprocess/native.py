@@ -41,6 +41,14 @@ def _load():
         lib.solve_lap.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int)]
+        lib.greedy_spaced_select.restype = ctypes.c_int
+        lib.greedy_spaced_select.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_int)]
+        lib.filter_near_duplicates.restype = ctypes.c_int
+        lib.filter_near_duplicates.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
         _lib = lib
     except OSError:
         _lib = None
@@ -67,6 +75,39 @@ def edmonds_longest_path(d2: np.ndarray, big: float) -> list[int] | None:
     if length <= 0:
         return None
     return out[:length].tolist()
+
+
+def greedy_spaced_select(pts: np.ndarray, distance: float) -> np.ndarray | None:
+    """Indices of the greedy equal-spacing walk (first row always kept);
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    n, d = pts.shape
+    out = np.zeros(max(n, 1), dtype=np.int32)
+    count = lib.greedy_spaced_select(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, d,
+        ctypes.c_double(distance),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return out[:count].astype(np.int64)
+
+
+def filter_near_duplicates(rows: np.ndarray, threshold: float,
+                           max_removed: int) -> np.ndarray | None:
+    """Indices removed by the greedy nearest-duplicate suppression;
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.float64)
+    n, d = rows.shape
+    out = np.zeros(max(n, 1), dtype=np.int32)
+    count = lib.filter_near_duplicates(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, d,
+        ctypes.c_double(threshold), int(max_removed),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return out[:count].astype(np.int64)
 
 
 def solve_lap(cost: np.ndarray) -> np.ndarray | None:

@@ -28,6 +28,8 @@ def filter_overlapping_segments(traj: np.ndarray, stroke_ids: np.ndarray,
     segment whose nearest neighbour within the stroke is closest, until the
     budget is reached or no pair is closer than ``threshold``. Removed rows
     become −100 / id −1."""
+    from . import native
+
     out_traj = traj.copy()
     out_ids = stroke_ids.copy()
     for b in range(traj.shape[0]):
@@ -41,21 +43,28 @@ def filter_overlapping_segments(traj: np.ndarray, stroke_ids: np.ndarray,
             if n <= 1.0 / percentage:
                 continue
             to_filter = int(n * percentage)
-            removed: list[int] = []
-            alive = stroke.copy()
-            while len(removed) < to_filter:
-                d = np.linalg.norm(
-                    alive[:, None, :] - alive[None, :, :], axis=-1)
-                np.fill_diagonal(d, np.inf)
-                nn = d.min(axis=1)
-                nn[removed] = np.inf
-                if np.all(nn[np.isfinite(nn)] > threshold) or not np.isfinite(nn).any():
-                    break
-                idx = int(np.argmin(nn))
-                stroke[idx] = -100.0
-                ids[idx] = -1
-                alive[idx] = -100.0
-                removed.append(idx)
+            removed_idx = native.filter_near_duplicates(
+                stroke, threshold, to_filter)
+            if removed_idx is None:
+                # pure-python fallback: O(n^3) recompute loop (reference
+                # utils/postprocessing.py:189-235 verbatim behavior)
+                removed: list[int] = []
+                alive = stroke.copy()
+                while len(removed) < to_filter:
+                    d = np.linalg.norm(
+                        alive[:, None, :] - alive[None, :, :], axis=-1)
+                    np.fill_diagonal(d, np.inf)
+                    nn = d.min(axis=1)
+                    nn[removed] = np.inf
+                    if (np.all(nn[np.isfinite(nn)] > threshold)
+                            or not np.isfinite(nn).any()):
+                        break
+                    idx = int(np.argmin(nn))
+                    alive[idx] = -100.0  # push out of NN range
+                    removed.append(idx)
+                removed_idx = np.asarray(removed, dtype=np.int64)
+            stroke[removed_idx] = -100.0
+            ids[removed_idx] = -1
             out_traj[b][sel] = stroke
             out_ids[b][sel] = ids
     return out_traj, out_ids
@@ -84,41 +93,56 @@ def find_non_overlapping_points_among_adjacent_segments(stroke, distance,
 
 def resample_at_equal_spaced_points_except_last(stroke, distance):
     """Akima-walk resampling keeping the final pose
-    (reference utils/postprocessing.py:396-432)."""
+    (reference utils/postprocessing.py:396-432).
+
+    The reference steps t by 0.1 calling the interpolator one point at a
+    time (one scipy dispatch per step — the postprocess hot spot). Here the
+    curve is evaluated for all t in one vectorized call and the greedy
+    keep-if-farther-than-``distance`` walk runs in native C++ (numpy-loop
+    fallback)."""
     from scipy.interpolate import Akima1DInterpolator
+
+    from . import native
 
     N = stroke.shape[0]
     if N < 3:
         return stroke.copy()
     curve = Akima1DInterpolator(np.arange(N), stroke)
-    out = [stroke[0].copy()]
-    last = stroke[0]
-    t = 0.1
-    while t <= N - 1 + 0.0005:
-        p = curve(min(t, N - 1))
-        if np.linalg.norm(p - last) > distance:
-            last = p
-            out.append(p.copy())
-        t += 0.1
-    out.append(stroke[-1].copy())
-    return np.asarray(out)
+    n_steps = int(np.floor((N - 1 + 0.0005) / 0.1 + 1e-9))
+    ts = np.minimum(np.arange(1, n_steps + 1) * 0.1, N - 1)
+    pts = np.concatenate([stroke[:1], curve(ts)], axis=0)
+
+    keep = native.greedy_spaced_select(pts, distance)
+    if keep is None:  # pure-python fallback (same walk, precomputed points)
+        keep = [0]
+        last = pts[0]
+        d2 = distance * distance
+        for i in range(1, pts.shape[0]):
+            diff = pts[i] - last
+            if float(diff @ diff) > d2:
+                keep.append(i)
+                last = pts[i]
+        keep = np.asarray(keep)
+    return np.concatenate([pts[keep], stroke[-1:]], axis=0)
 
 
 def apply_filter_to_each_dim(signal, kind="gaussian", **kwargs):
     """Per-dimension 1-D filtering (reference utils/postprocessing.py:327-347)."""
-    from scipy.ndimage import gaussian_filter1d
-    from scipy.signal import medfilt
+    if kind == "gaussian":
+        from scipy.ndimage import gaussian_filter1d
 
-    out = signal.copy()
-    for d in range(signal.shape[-1]):
-        if kind == "gaussian":
-            out[:, d] = gaussian_filter1d(out[:, d], **kwargs)
-        elif kind == "median":
-            w = kwargs["window"]
+        # gaussian_filter1d is separable along axis 0 directly — one call
+        # filters all dims (identical output to the per-dim loop)
+        return gaussian_filter1d(signal, axis=0, **kwargs)
+    if kind == "median":
+        from scipy.signal import medfilt
+
+        out = signal.copy()
+        w = kwargs["window"]
+        for d in range(signal.shape[-1]):
             out[w // 2 : -(w // 2), d] = medfilt(out[w // 2 : -(w // 2), d], w)
-        else:
-            raise ValueError(kind)
-    return out
+        return out
+    raise ValueError(kind)
 
 
 def process_stroke_segments(traj, stroke_ids, config,

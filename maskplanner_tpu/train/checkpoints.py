@@ -97,3 +97,24 @@ def load_params_only(run_dir: str, name: str, state, filter_heads: bool = False)
 
 def checkpoint_exists(run_dir: str, name: str) -> bool:
     return os.path.isdir(os.path.join(run_dir, name))
+
+
+def save_aux_state(run_dir: str, name: str, aux: Any):
+    """Save an auxiliary pytree (e.g. GAN discriminator state) alongside a
+    checkpoint, under ``<name>_aux``."""
+    path = os.path.abspath(os.path.join(run_dir, f"{name}_aux"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr = _ckptr()
+    ckptr.save(path, jax.tree.map(lambda x: x, aux))
+    ckptr.wait_until_finished()
+
+
+def load_aux_state(run_dir: str, name: str, aux_example: Any) -> Any:
+    """Restore an auxiliary pytree saved by ``save_aux_state``; returns the
+    example unchanged if no aux checkpoint exists."""
+    path = os.path.abspath(os.path.join(run_dir, f"{name}_aux"))
+    if not os.path.isdir(path):
+        return aux_example
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, aux_example)
+    return _ckptr().restore(path, abstract)

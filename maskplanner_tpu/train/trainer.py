@@ -89,6 +89,63 @@ def make_train_step(model, handler: LossHandler, config):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_gan_train_step(model, handler: LossHandler, config, adv):
+    """Train step with adversarial-loss state threading.
+
+    The reference trains the discriminator *inside* the loss call every
+    ``discr_train_freq`` steps (loss_handler.py:259-300). Here both updates
+    share ONE forward pass: the generator gradient is taken against the
+    current discriminator, and the discriminator then updates on the same
+    (detached) prediction — simultaneous GAN updates with a one-step-stale
+    critic, all inside a single jitted program.
+
+    Returns ``train_step(state, d_state, batch, weights, rng) ->
+    (state, d_state, loss, terms)``.
+    """
+
+    def train_step(state: TrainState, d_state, batch, weights, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        dropout_rng, d_rng, loss_rng = jax.random.split(step_rng, 3)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables,
+                batch["point_cloud"],
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            lb = build_loss_batch(out, batch, config)
+            total, terms = handler.compute(
+                weights, rng=loss_rng, gan_module=adv, gan_state=d_state,
+                **lb)
+            return total, (terms, mutated["batch_stats"], lb)
+
+        (loss, (terms, new_bs, lb)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_bs)
+
+        y_pred = jax.lax.stop_gradient(lb["y_pred"])
+        y = lb["y"]
+
+        def do_update(ds):
+            return adv.discriminator_update(ds, y_pred, y, d_rng)
+
+        def skip(ds):
+            return ds, jnp.float32(0.0)
+
+        d_state, d_loss = jax.lax.cond(
+            state.step % adv.train_freq == 0, do_update, skip, d_state)
+        terms = dict(terms)
+        terms["d_internal"] = d_loss
+        return state, d_state, loss, terms
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
 def make_eval_step(model, handler: LossHandler, config):
     """Returns jitted ``eval_step(state, batch, weights, rng)`` ->
     (loss, terms, outputs). Uses running BN statistics, no dropout."""

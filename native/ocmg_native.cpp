@@ -160,6 +160,91 @@ bool chu_liu_edmonds(int n, int root, const std::vector<double>& cost,
 
 extern "C" {
 
+// Greedy equal-spacing walk over a polyline's sample points
+// (reference utils/postprocessing.py:396-432 inner loop): keep a point iff
+// its Euclidean distance to the previously *kept* point exceeds `dist`.
+// pts: n*d row-major. out_idx: caller-allocated n ints. Returns kept count.
+// The first point is always kept.
+int greedy_spaced_select(const double* pts, int n, int d, double dist,
+                         int* out_idx) {
+  if (n <= 0) return 0;
+  double d2 = dist * dist;
+  int count = 0;
+  out_idx[count++] = 0;
+  const double* last = pts;
+  for (int i = 1; i < n; ++i) {
+    const double* p = pts + static_cast<size_t>(i) * d;
+    double acc = 0.0;
+    for (int k = 0; k < d; ++k) {
+      double diff = p[k] - last[k];
+      acc += diff * diff;
+    }
+    if (acc > d2) {
+      out_idx[count++] = i;
+      last = p;
+    }
+  }
+  return count;
+}
+
+// Near-duplicate row suppression (reference utils/postprocessing.py:189-235
+// inner loop): repeatedly remove the row whose nearest-neighbour distance
+// among alive rows is smallest, while that distance <= threshold and fewer
+// than max_removed rows were removed. Incremental NN maintenance makes this
+// O(n^2 + removals * n) instead of the O(n^3) recompute-everything loop.
+// rows: n*d row-major. out_removed: caller-allocated n ints (removal order).
+// Returns number removed.
+int filter_near_duplicates(const double* rows, int n, int d,
+                           double threshold, int max_removed,
+                           int* out_removed) {
+  if (n <= 1 || max_removed <= 0) return 0;
+  std::vector<double> dist2(static_cast<size_t>(n) * n, INF);
+  auto row_d2 = [&](int i, int j) {
+    const double* a = rows + static_cast<size_t>(i) * d;
+    const double* b = rows + static_cast<size_t>(j) * d;
+    double acc = 0.0;
+    for (int k = 0; k < d; ++k) {
+      double diff = a[k] - b[k];
+      acc += diff * diff;
+    }
+    return acc;
+  };
+  for (int i = 0; i < n; ++i)
+    for (int j = i + 1; j < n; ++j)
+      dist2[i * n + j] = dist2[j * n + i] = row_d2(i, j);
+
+  std::vector<char> alive(n, 1);
+  std::vector<double> nn(n);   // squared NN distance among alive rows
+  std::vector<int> nn_of(n);
+  auto recompute_nn = [&](int i) {
+    double best = INF;
+    int who = -1;
+    for (int j = 0; j < n; ++j) {
+      if (j == i || !alive[j]) continue;
+      double v = dist2[i * n + j];
+      if (v < best) { best = v; who = j; }
+    }
+    nn[i] = best;
+    nn_of[i] = who;
+  };
+  for (int i = 0; i < n; ++i) recompute_nn(i);
+
+  double thr2 = threshold * threshold;
+  int removed = 0;
+  while (removed < max_removed) {
+    int victim = -1;
+    double best = INF;
+    for (int i = 0; i < n; ++i)
+      if (alive[i] && nn[i] < best) { best = nn[i]; victim = i; }
+    if (victim < 0 || best > thr2) break;
+    alive[victim] = 0;
+    out_removed[removed++] = victim;
+    for (int i = 0; i < n; ++i)
+      if (alive[i] && nn_of[i] == victim) recompute_nn(i);
+  }
+  return removed;
+}
+
 // Minimum spanning arborescence over a dense directed cost matrix
 // (INF/huge = missing edge) with a virtual root connected to every node,
 // then the longest (by hop count) path of the resulting branching.

@@ -43,6 +43,35 @@ class TestAdversarial:
     def test_minimax(self):
         self._roundtrip("discriminator")
 
+    def test_train_driver_with_gan_loss(self, tmp_path):
+        """Full training loop with an adversarial term: discriminator state
+        threads through the jitted step, checkpoints, and stays finite."""
+        import os
+        import json
+        import train_maskplanner
+        from maskplanner_tpu.utils.args import load_args
+
+        # GAN losses require lambda=1 (reference loss_handler.py:186-187) —
+        # the pointWise baseline family is the reference GAN setup
+        cfg = load_args(argv=[
+            "config=[pointWise,cuboids_v2,longx_v2,debug]",
+            "loss=[chamfer,wdiscriminator]",
+            "weight_wdiscriminator=0.01", "discr_train_iter=1",
+            "knn_gcn=4", "pc_points=64", "n_pred_traj_points=80",
+            "batch_size=2", "epochs=2", "eval_freq=2", "dataset_size=2",
+            "test_dataset_size=2", "no_save=false", "seed=3",
+            f"output_dir={tmp_path}"])
+        run_dir, state = train_maskplanner.main(cfg)
+        logs = [json.loads(l) for l in
+                open(os.path.join(run_dir, "logs.jsonl"))]
+        losses = [l["train_loss"] for l in logs if "train_loss" in l]
+        assert len(losses) == 2 and all(np.isfinite(losses))
+        d_terms = [l["d_internal_train_loss"] for l in logs
+                   if "d_internal_train_loss" in l]
+        assert d_terms and all(np.isfinite(d_terms))
+        # discriminator aux state checkpointed alongside last_checkpoint
+        assert os.path.isdir(os.path.join(run_dir, "last_checkpoint_aux"))
+
     def test_handler_dispatch(self):
         cfg, adv, d_state, y, y_pred = self._roundtrip("wdiscriminator")
         handler = LossHandler(["wdiscriminator"], cfg)

@@ -7,17 +7,14 @@ from jax.experimental import pallas as pl
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):
-    import maskplanner_tpu.ops.pallas.ball_query as bq_mod
-    import maskplanner_tpu.ops.pallas.fps as fps_mod
-
+    # all kernel modules share the one pallas module object
     orig = pl.pallas_call
 
     def interp(*a, **k):
         k["interpret"] = True
         return orig(*a, **k)
 
-    monkeypatch.setattr(bq_mod.pl, "pallas_call", interp)
-    monkeypatch.setattr(fps_mod.pl, "pallas_call", interp)
+    monkeypatch.setattr(pl, "pallas_call", interp)
 
 
 class TestBallQueryKernel:
@@ -31,6 +28,67 @@ class TestBallQueryKernel:
         ref = np.asarray(query_ball_point(r, k, xyz, q))
         got = np.asarray(ball_query_pallas(r, k, xyz, q, tile_s=64))
         np.testing.assert_array_equal(ref, got)
+
+
+class TestNNArgminKernel:
+    def test_matches_xla_unmasked(self, rng):
+        from maskplanner_tpu.ops.pallas.nn_argmin import nn_argmin_pallas
+        from maskplanner_tpu.ops.distance import square_distance
+
+        # non-multiple-of-tile sizes exercise the padding path
+        x = jnp.asarray(rng.normal(size=(2, 150, 24)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(2, 137, 24)).astype(np.float32))
+        ref = np.asarray(jnp.argmin(square_distance(x, y), axis=-1))
+        got = np.asarray(nn_argmin_pallas(x, y))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_masked(self, rng):
+        from maskplanner_tpu.ops.pallas.nn_argmin import nn_argmin_pallas
+        from maskplanner_tpu.ops.distance import square_distance
+
+        x = jnp.asarray(rng.normal(size=(2, 64, 6)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(2, 70, 6)).astype(np.float32))
+        mask = jnp.asarray(rng.random((2, 70)) > 0.4)
+        d = jnp.where(mask[:, None, :], square_distance(x, y), 1e10)
+        ref = np.asarray(jnp.argmin(d, axis=-1))
+        got = np.asarray(nn_argmin_pallas(x, y, mask))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_chamfer_pallas_path_matches_xla(self, rng, monkeypatch):
+        """Full chamfer_distance through the fused path == XLA path,
+        values and gradients."""
+        import jax
+        import maskplanner_tpu.ops.chamfer as cham_mod
+        from maskplanner_tpu.ops.chamfer import chamfer_distance
+
+        x = jnp.asarray(rng.normal(size=(2, 40, 12)).astype(np.float32))
+        y0 = rng.normal(size=(2, 45, 12)).astype(np.float32)
+        y0[0, 38:] = -100.0  # suffix padding
+        y = jnp.asarray(y0)
+
+        def run():
+            f = lambda xx: chamfer_distance(xx, y, padded=True)[0]
+            return jax.value_and_grad(f)(x)
+
+        ref_v, ref_g = run()
+        monkeypatch.setattr(cham_mod, "_pallas_nn_ok", lambda *a: True)
+        got_v, got_g = run()
+        np.testing.assert_allclose(float(ref_v), float(got_v), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref_g), np.asarray(got_g),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_chamfer_asymmetric_matching(self, rng, monkeypatch):
+        import maskplanner_tpu.ops.chamfer as cham_mod
+        from maskplanner_tpu.ops.chamfer import chamfer_distance
+
+        x = jnp.asarray(rng.normal(size=(2, 32, 6)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(2, 30, 6)).astype(np.float32))
+        ref = chamfer_distance(x, y, asymmetric=True, return_matching=True)
+        monkeypatch.setattr(cham_mod, "_pallas_nn_ok", lambda *a: True)
+        got = chamfer_distance(x, y, asymmetric=True, return_matching=True)
+        np.testing.assert_allclose(float(ref[0]), float(got[0]), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(got[2]))
+        np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
 
 
 class TestFPSKernel:

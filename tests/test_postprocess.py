@@ -1,0 +1,199 @@
+"""Postprocess pipeline: mask->id extraction, segment filtering,
+concatenation/ordering, resampling/smoothing, visualization alignment.
+
+Reference semantics: utils/postprocessing.py + utils/cluster.py.
+"""
+import numpy as np
+import pytest
+
+from maskplanner_tpu.utils.args import load_args
+
+
+def cfg(**over):
+    argv = ["config=[maskplanner,cuboids_v2]"]
+    argv += [f"{k}={v}" for k, v in over.items()]
+    return load_args(argv=argv)
+
+
+def make_stroke_segments(n_seg=20, lam=4, outdim=6, seed=0, noise=0.0):
+    """One smooth stroke chopped into ordered λ-segments."""
+    rng = np.random.default_rng(seed)
+    ts = np.linspace(0, 2.0, n_seg * lam)
+    pts = np.stack([np.cos(ts), np.sin(ts), 0.2 * ts], axis=-1)
+    if noise:
+        pts = pts + rng.normal(0, noise, pts.shape)
+    pose = np.concatenate([pts, np.tile([0, 0, 1.0], (len(ts), 1))], axis=-1)
+    return pose.reshape(n_seg, lam * outdim).astype(np.float64)
+
+
+class TestStrokeIdExtraction:
+    def test_confident_masks_win(self):
+        from maskplanner_tpu.postprocess.stroke_ids import (
+            process_pred_stroke_masks_to_stroke_ids)
+
+        B, M, S = 2, 4, 10
+        masks = np.full((B, M, S), -5.0)
+        # mask 0 claims segments 0-4, mask 2 claims 5-9; mask 1 is strong
+        # everywhere but low-confidence -> filtered out
+        masks[:, 0, :5] = 5.0
+        masks[:, 2, 5:] = 5.0
+        masks[:, 1, :] = 8.0
+        conf = np.asarray([[5.0, -5.0, 5.0, -5.0]] * B)
+        ids = process_pred_stroke_masks_to_stroke_ids(masks, conf)
+        # contiguous ids from 0; two strokes
+        assert set(np.unique(ids[0])) == {0.0, 1.0}
+        np.testing.assert_array_equal(ids[0][:5], 0.0)
+        np.testing.assert_array_equal(ids[0][5:], 1.0)
+
+    def test_end_of_sequence(self):
+        from maskplanner_tpu.postprocess.stroke_ids import (
+            handle_end_of_sequence)
+
+        seq = np.arange(10)
+        out = handle_end_of_sequence(seq, np.asarray(
+            [1, 1, 1, -1, 1, 1, 1, 1, 1, 1], float), threshold=0.0)
+        np.testing.assert_array_equal(out, seq[:3])
+        out = handle_end_of_sequence(seq, np.ones(10), threshold=0.0)
+        np.testing.assert_array_equal(out, seq)
+
+
+class TestSegmentConcat:
+    def test_orders_shuffled_segments(self):
+        from maskplanner_tpu.postprocess.concat import (
+            concat_segments_of_stroke)
+
+        traj = make_stroke_segments(n_seg=15)
+        rng = np.random.default_rng(1)
+        perm = rng.permutation(15)
+        ordered = concat_segments_of_stroke(traj[perm], None, cfg())
+        # the recovered order is the original (or its reverse)
+        assert ordered.shape[0] >= 13  # few drops tolerated
+        starts = ordered[:, :3]
+        gaps = np.linalg.norm(np.diff(starts, axis=0), axis=-1)
+        # consecutive recovered segments are adjacent on the curve
+        assert np.max(gaps) < 0.45
+
+    def test_native_matches_networkx(self, monkeypatch):
+        from maskplanner_tpu.postprocess import concat, native
+
+        traj = make_stroke_segments(n_seg=12, seed=3)
+        perm = np.random.default_rng(4).permutation(12)
+        got_native = concat.concat_segments_of_stroke(traj[perm], None, cfg())
+        monkeypatch.setattr(native, "available", lambda: False)
+        got_nx = concat.concat_segments_of_stroke(traj[perm], None, cfg())
+        np.testing.assert_allclose(got_native, got_nx)
+
+
+class TestFiltering:
+    def test_duplicates_removed(self):
+        from maskplanner_tpu.postprocess.segments import (
+            filter_overlapping_segments)
+
+        traj = make_stroke_segments(n_seg=10)[None]  # (1, 10, 24)
+        traj = np.concatenate([traj, traj[:, :3] + 0.001], axis=1)  # 3 dups
+        ids = np.zeros((1, 13), np.int64)
+        out_traj, out_ids = filter_overlapping_segments(traj, ids)
+        n_removed = int((out_ids[0] == -1).sum())
+        assert n_removed == 3
+        assert np.all(out_traj[0][out_ids[0] == -1] == -100.0)
+
+    def test_native_matches_python(self, monkeypatch):
+        from maskplanner_tpu.postprocess import native
+        from maskplanner_tpu.postprocess import segments as seg_mod
+
+        rng = np.random.default_rng(5)
+        traj = rng.normal(size=(1, 30, 24))
+        traj[0, 11] = traj[0, 4] + 0.01
+        traj[0, 21] = traj[0, 4] + 0.02
+        ids = np.zeros((1, 30), np.int64)
+        got_nat = seg_mod.filter_overlapping_segments(traj, ids)
+        monkeypatch.setattr(native, "filter_near_duplicates",
+                            lambda *a: None)
+        got_py = seg_mod.filter_overlapping_segments(traj, ids)
+        np.testing.assert_allclose(got_nat[0], got_py[0])
+        np.testing.assert_array_equal(got_nat[1], got_py[1])
+
+
+class TestResample:
+    def test_spacing_and_endpoints(self):
+        from maskplanner_tpu.postprocess.segments import (
+            resample_at_equal_spaced_points_except_last)
+
+        ts = np.linspace(0, 2.0, 40)
+        stroke = np.stack([np.cos(ts), np.sin(ts), ts], axis=-1)
+        out = resample_at_equal_spaced_points_except_last(stroke, 0.25)
+        np.testing.assert_allclose(out[0], stroke[0])
+        np.testing.assert_allclose(out[-1], stroke[-1])
+        gaps = np.linalg.norm(np.diff(out[:-1], axis=0), axis=-1)
+        assert np.all(gaps > 0.25)  # strictly-greater walk
+        assert np.all(gaps < 0.40)  # but near-equally spaced
+
+    def test_native_matches_python(self, monkeypatch):
+        from maskplanner_tpu.postprocess import native
+        from maskplanner_tpu.postprocess import segments as seg_mod
+
+        ts = np.linspace(0, 3.0, 55)
+        stroke = np.stack([np.cos(2 * ts), np.sin(ts), 0.3 * ts], axis=-1)
+        got_nat = seg_mod.resample_at_equal_spaced_points_except_last(
+            stroke, 0.1)
+        monkeypatch.setattr(native, "greedy_spaced_select", lambda *a: None)
+        got_py = seg_mod.resample_at_equal_spaced_points_except_last(
+            stroke, 0.1)
+        np.testing.assert_allclose(got_nat, got_py)
+
+
+class TestSmoothing:
+    def test_gaussian_axiswise_equals_per_dim(self):
+        from scipy.ndimage import gaussian_filter1d
+
+        from maskplanner_tpu.postprocess.segments import (
+            apply_filter_to_each_dim)
+
+        rng = np.random.default_rng(6)
+        sig = rng.normal(size=(50, 6))
+        got = apply_filter_to_each_dim(sig, kind="gaussian", sigma=2)
+        ref = sig.copy()
+        for d in range(6):
+            ref[:, d] = gaussian_filter1d(ref[:, d], sigma=2)
+        np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+class TestFullPipeline:
+    def test_process_stroke_segments(self):
+        from maskplanner_tpu.postprocess.segments import (
+            process_stroke_segments)
+
+        # two strokes per object
+        s0 = make_stroke_segments(n_seg=12, seed=0)
+        s1 = make_stroke_segments(n_seg=12, seed=1) + 2.0
+        traj = np.concatenate([s0, s1], axis=0)[None]
+        ids = np.concatenate([np.zeros(12), np.ones(12)])[None].astype(int)
+        out_trajs, out_ids = process_stroke_segments(traj, ids, cfg())
+        assert len(out_trajs) == 1
+        pts, pids = out_trajs[0], out_ids[0]
+        assert pts.shape[1] == 6
+        assert set(np.unique(pids)) <= {0.0, 1.0}
+        # both strokes survived and are densely sampled
+        assert (pids == 0).sum() > 30 and (pids == 1).sum() > 30
+        # smooth: no large jumps within a stroke
+        for sid in (0, 1):
+            p = pts[pids == sid][:, :3]
+            assert np.max(np.linalg.norm(np.diff(p, axis=0), axis=-1)) < 0.5
+
+
+class TestAlignment:
+    def test_pred_ids_renamed_to_gt(self):
+        from maskplanner_tpu.postprocess.align import (
+            permute_and_align_stroke_ids_for_visualization)
+
+        gt = np.concatenate([make_stroke_segments(12, seed=0),
+                             make_stroke_segments(12, seed=1) + 2.0])[None]
+        gt_ids = np.concatenate([np.full(12, 3), np.full(12, 7)])[None]
+        # predictions = noisy GT with swapped id labels
+        pred = gt + np.random.default_rng(2).normal(0, 0.01, gt.shape)
+        pred_ids = np.concatenate([np.full(12, 1), np.full(12, 0)])[None]
+        out = permute_and_align_stroke_ids_for_visualization(
+            pred.astype(np.float32), pred_ids, gt.astype(np.float32),
+            gt_ids, cfg())
+        np.testing.assert_array_equal(out[0][:12], 3)
+        np.testing.assert_array_equal(out[0][12:], 7)

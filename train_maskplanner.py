@@ -92,7 +92,22 @@ def main(config=None):
     psacd = (PSACDScheduler(config["psacd_scheduler"])
              if config["psacd_scheduler"].get("active") else None)
 
-    train_step = make_train_step(model, loss_handler, config)
+    # adversarial losses carry explicit discriminator state (reference trains
+    # an internal D inside the loss call, loss_handler.py:259-375)
+    gan_kinds = [n for n in config["loss"]
+                 if n in ("discriminator", "wdiscriminator")]
+    adv, d_state = None, None
+    if gan_kinds:
+        from maskplanner_tpu.losses.gan import AdversarialLoss
+        from maskplanner_tpu.train.trainer import make_gan_train_step
+
+        adv = AdversarialLoss(config, kind=gan_kinds[0])
+        d_state = adv.init_state(
+            jax.random.fold_in(rng, 17), np.asarray(sample["traj"])[None])
+        d_state = replicate(d_state, mesh)
+        train_step = make_gan_train_step(model, loss_handler, config, adv)
+    else:
+        train_step = make_train_step(model, loss_handler, config)
     eval_step = make_eval_step(model, loss_handler, config)
     forward = make_forward(model)
 
@@ -120,6 +135,9 @@ def main(config=None):
                                                               "last_checkpoint"):
         state, start_epoch = checkpoints.load_checkpoint(run_dir,
                                                          "last_checkpoint", state)
+        if d_state is not None:
+            d_state = checkpoints.load_aux_state(run_dir, "last_checkpoint",
+                                                 d_state)
         print(f"Resumed from epoch {start_epoch}")
 
     epochs = int(config["epochs"])
@@ -158,8 +176,12 @@ def main(config=None):
         loss_acc, term_acc = [], []
         with profile_trace(run_dir, enabled=do_profile):
             for device_batch in prefetcher.epoch(epoch):
-                state, loss, terms = train_step(state, device_batch, weights,
-                                                rng)
+                if adv is not None:
+                    state, d_state, loss, terms = train_step(
+                        state, d_state, device_batch, weights, rng)
+                else:
+                    state, loss, terms = train_step(state, device_batch,
+                                                    weights, rng)
                 loss_acc.append(loss)
                 term_acc.append(terms)
                 n_batches += 1
@@ -183,6 +205,9 @@ def main(config=None):
             if not config.get("no_save"):
                 checkpoints.save_checkpoint(run_dir, "last_checkpoint", state,
                                             epoch + 1, epoch_loss)
+                if d_state is not None:
+                    checkpoints.save_aux_state(run_dir, "last_checkpoint",
+                                               d_state)
                 if eval_loss < best_eval_loss:
                     best_eval_loss, best_epoch = eval_loss, epoch + 1
                     checkpoints.copy_checkpoint(run_dir, "last_checkpoint",
