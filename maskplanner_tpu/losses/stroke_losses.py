@@ -151,11 +151,17 @@ def masked_mse_strokes_v2(pred_points_per_stroke, points_per_stroke,
 def emd(y_pred, y, y_mask=None, **_):
     """Earth mover's distance: Hungarian match (euclidean cost, reference
     models/hungarianMatcher.py:40-61) + sum-over-dims MSE on matched pairs
-    (loss_handler.py:990-1009)."""
+    (loss_handler.py:990-1009). Large sets (where the O(n^3) exact solver
+    would dominate the step) switch to the Sinkhorn soft-EMD
+    (ops.sinkhorn), which converges to the same value as eps -> 0."""
     from ..ops.chamfer import mask_from_padding
 
     if y_mask is None:
         y_mask = mask_from_padding(y)
+    if y_pred.shape[1] * y.shape[1] > 128 * 128:
+        from ..ops.sinkhorn import sinkhorn_emd
+
+        return sinkhorn_emd(y_pred, y, y_mask=y_mask)
     cost = euclid_cdist(y_pred, y)
     row4col, matched = hungarian(cost, y_mask)
     chosen = jnp.take_along_axis(y_pred, row4col[..., None], axis=1)

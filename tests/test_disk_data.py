@@ -1,0 +1,151 @@
+"""On-disk PaintNet dataset layout: OBJ meshes + trajectory.txt CSVs +
+split JSONs + the preprocessed-npz cache (reference utils/disk.py and
+utils/dataset/paintnet_ODv1.py:144-243 contract), exercised end to end
+through PaintDataset.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from maskplanner_tpu.utils.args import load_args
+
+CUBE_V = np.array([
+    [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float)
+CUBE_F = [
+    (0, 2, 1), (0, 3, 2), (4, 5, 6), (4, 6, 7),
+    (0, 1, 5), (0, 5, 4), (2, 3, 7), (2, 7, 6),
+    (1, 2, 6), (1, 6, 5), (3, 0, 4), (3, 4, 7)]
+
+
+def write_obj(path, scale=1.0):
+    with open(path, "w") as f:
+        for v in CUBE_V * scale:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for a, b, c in CUBE_F:
+            f.write(f"f {a+1} {b+1} {c+1}\n")
+
+
+def write_traj(path, n_strokes=2, poses_per_stroke=60, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for sid in range(n_strokes):
+        ts = np.linspace(0, 1, poses_per_stroke)
+        xyz = np.stack([ts * 0.8 + 0.1, np.full_like(ts, 0.2 + 0.5 * sid),
+                        np.full_like(ts, 1.3)], axis=-1)
+        abc = rng.uniform(-30, 30, size=(poses_per_stroke, 3))
+        for p, a in zip(xyz, abc):
+            rows.append(list(p) + list(a) + [sid])
+    with open(path, "w") as f:
+        f.write("X;Y;Z;A;B;C;strokeId\n")
+        for r in rows:
+            f.write(";".join(str(v) for v in r) + "\n")
+
+
+@pytest.fixture()
+def paintnet_root(tmp_path, monkeypatch):
+    cat = tmp_path / "minicubes-v1"
+    names = [f"cube_{i:03d}" for i in range(4)]
+    for i, name in enumerate(names):
+        d = cat / name
+        d.mkdir(parents=True)
+        write_obj(d / f"{name}.obj", scale=1.0 + 0.1 * i)
+        write_traj(d / f"{name}_trajectory.txt", seed=i)
+    (cat / "train_split.json").write_text(json.dumps(names[:3]))
+    (cat / "test_split.json").write_text(json.dumps(names[3:]))
+    monkeypatch.setenv("PAINTNET_ROOT", str(tmp_path))
+    return tmp_path
+
+
+def cfg(**over):
+    argv = ["config=[cuboids_v2]", "dataset=minicubes-v1",
+            "pc_points=128", "traj_points=120",
+            "lambda_points=4", "overlapping=1", "extra_data=[orientnorm]",
+            "traj_with_equally_spaced_points=false"]
+    argv += [f"{k}={v}" for k, v in over.items()]
+    return load_args(argv=argv)
+
+
+class TestDiskSource:
+    def test_raw_item_and_cache(self, paintnet_root):
+        from maskplanner_tpu.data.io import DiskPaintDataset
+
+        src = DiskPaintDataset(str(paintnet_root), "minicubes-v1", "train",
+                               n_mesh_points=2000)
+        assert len(src) == 3
+        pc, traj, ids = src.raw_item(0)
+        assert pc.shape[1] == 3 and pc.shape[0] >= 1000
+        assert traj.shape == (120, 6)  # xyz + orientnorm
+        # orientnorm columns are unit normals
+        np.testing.assert_allclose(
+            np.linalg.norm(traj[:, 3:6], axis=-1), 1.0, atol=1e-5)
+        assert set(np.unique(ids)) == {0, 1}
+        # pc samples lie on the cube surface
+        assert pc.min() >= -1e-6 and pc.max() <= 1.0 + 1e-6
+
+        # second access hits the npz cache and is identical
+        cache_dir = os.path.join(str(paintnet_root), "minicubes-v1",
+                                 "cube_000", "paintnet_preprocessed_sample")
+        assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
+        pc2, traj2, ids2 = src.raw_item(0)
+        np.testing.assert_allclose(pc, pc2)
+        np.testing.assert_allclose(traj, traj2)
+
+    def test_split_files_respected(self, paintnet_root):
+        from maskplanner_tpu.data.io import DiskPaintDataset
+
+        te = DiskPaintDataset(str(paintnet_root), "minicubes-v1", "test")
+        assert te.samples == ["cube_003"]
+
+
+class TestPaintDatasetOnDisk:
+    def test_full_item_pipeline(self, paintnet_root):
+        from maskplanner_tpu.data.dataset import PaintDataset
+
+        ds = PaintDataset(cfg(), split="train")
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["point_cloud"].shape == (128, 3)
+        # normalized: centered and within unit-ish ball
+        assert np.linalg.norm(item["point_cloud"], axis=1).max() < 2.0
+        S = item["traj"].shape[0]
+        valid = item["stroke_ids"] >= 0
+        assert valid.sum() > 0 and item["traj"].shape[1] == 24  # λ=4·6
+        # padding conventions
+        assert np.all(item["traj"][~valid] == -100.0)
+        assert int(item["n_strokes"]) == 2
+        assert item["stroke_masks"].shape[0] == int(cfg()["max_n_strokes"])
+
+    def test_equal_spaced_resampling_path(self, paintnet_root):
+        from maskplanner_tpu.data.dataset import PaintDataset
+
+        config = cfg(traj_with_equally_spaced_points="true",
+                     equal_spaced_points_distance=0.1,
+                     n_pred_traj_points=300)
+        ds = PaintDataset(config, split="train")
+        item = ds[1]
+        pts = item["traj_as_pc"]
+        ids = item["stroke_ids_as_pc"]
+        for sid in (0, 1):
+            stroke = pts[ids == sid]  # full pose: spacing is measured in
+            # pose space when equal_in_3d_space is false (traj_sampling_v2)
+            gaps = np.linalg.norm(np.diff(stroke, axis=0), axis=-1)
+            assert stroke.shape[0] < 60  # actually subsampled
+            assert np.all(gaps > 0.1 - 1e-6)  # equal-spacing invariant
+
+
+class TestTrajRoundtrip:
+    def test_save_and_reload_euler(self, tmp_path):
+        from maskplanner_tpu.data.io import read_traj_file, save_traj_file
+
+        p = tmp_path / "trajectory.txt"
+        write_traj(p, seed=5)
+        traj, ids = read_traj_file(str(p), ("orientnorm",))
+        out = tmp_path / "exported_trajectory.txt"
+        save_traj_file(np.column_stack([traj, ids]), str(out),
+                       kind="normals")
+        re_traj, re_ids = read_traj_file(str(out), ())
+        np.testing.assert_allclose(re_traj, traj[:, :3], rtol=1e-6)
+        np.testing.assert_array_equal(re_ids, ids)

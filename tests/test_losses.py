@@ -104,6 +104,47 @@ class TestEMD:
         np.testing.assert_allclose(got, np.mean(vals), rtol=1e-4)
 
 
+class TestSinkhornEMD:
+    def test_converges_to_hungarian_emd(self, rng):
+        """Soft EMD at small eps ~ exact Hungarian EMD on separated sets."""
+        from maskplanner_tpu.ops.sinkhorn import sinkhorn_emd
+
+        B, N, D = 2, 16, 3
+        y = rng.normal(size=(B, N, D)).astype(np.float32) * 2.0
+        y_pred = (y[:, rng.permutation(N)]
+                  + rng.normal(0, 0.01, (B, N, D))).astype(np.float32)
+        exact = []
+        for b in range(B):
+            cost = np_sqdist(y_pred[b], y[b])
+            ri, ci = linear_sum_assignment(np.sqrt(cost))
+            exact.append(np.mean([cost[i, j] for i, j in zip(ri, ci)]))
+        soft = float(sinkhorn_emd(jnp.array(y_pred), jnp.array(y),
+                                  eps=0.001, iters=200))
+        np.testing.assert_allclose(soft, np.mean(exact), rtol=0.05, atol=5e-4)
+
+    def test_masked_and_differentiable(self, rng):
+        from maskplanner_tpu.ops.sinkhorn import sinkhorn_emd
+
+        B, N, M, D = 2, 12, 15, 3
+        y_pred = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+        y_np = rng.normal(size=(B, M, D)).astype(np.float32)
+        mask = np.ones((B, M), bool)
+        mask[:, 10:] = False
+        y_np[:, 10:] = -100.0
+        y = jnp.asarray(y_np)
+        g = jax.grad(lambda yp: sinkhorn_emd(yp, y, y_mask=jnp.asarray(mask)))(
+            y_pred)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_emd_large_sets_dispatch(self, rng):
+        """emd() switches to Sinkhorn above the size cutoff and stays
+        close to zero for identical sets."""
+        y = jnp.asarray(rng.normal(size=(1, 200, 3)).astype(np.float32))
+        val = float(emd(y, y))
+        assert val < 0.01
+
+
 class TestRegularizers:
     def test_intra_align_planar_is_zero(self, rng):
         # segments lying exactly on a plane -> 3rd singular value == 0
