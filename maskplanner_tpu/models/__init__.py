@@ -236,6 +236,43 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
             hidden_size=hidden,
         )
 
+    if which == "pointnet_deeper":
+        # 5-conv feature extractor (reference models/__init__.py:96-101,
+        # models/pointnet_deeper.py:99-103)
+        info = get_io_info(io_type if io_type != "MaskPlanner" else "paintnet",
+                           config)
+        assert orient_outdim == 0, (
+            "pointnet_deeper does not support output normals")
+        return PointNetRegressor(
+            out_vectors=info["out_vectors"],
+            outdim=info["vector_outdim_transl"],
+            affinetrans=bool(config["model"].get("affinetrans")),
+            hidden_size=hidden,
+            deeper=True,
+        )
+
+    if which == "mlp_generator":
+        # random-noise GAN generator (reference models/__init__.py:182-187)
+        info = get_io_info(io_type if io_type != "MaskPlanner" else "paintnet",
+                           config)
+        assert info["vector_outdim_orient"] == 0, (
+            "mlp generator does not support output normals (reference "
+            "models/__init__.py:183)")
+        return MLPGenerator(
+            hidden_sizes=(512, 1024),
+            out_vectors=info["out_vectors"],
+            outdim=info["vector_outdim_transl"],
+        )
+
+    if which in ("samplenet", "gnn", "transformer"):
+        # parity with the reference: samplenet raises NotImplementedError
+        # (models/__init__.py:189-190); gnn/transformer import from
+        # models/concat and models/e2e packages that do not exist in the
+        # released repo (models/__init__.py:7-15 dead imports)
+        raise NotImplementedError(
+            f"backbone '{which}' is unreleased in the reference "
+            "(models/__init__.py:182-215) and has no behavior to match")
+
     if which == "pointnet_segmenter":
         return PointNetSegmenter(
             outdim=config["latent_dim"],

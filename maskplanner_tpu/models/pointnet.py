@@ -57,6 +57,7 @@ class PointNetFeat(nn.Module):
     global_feat: bool = True
     feature_transform: bool = False
     affinetrans: bool = True
+    deeper: bool = False  # 5-conv extractor (reference models/pointnet_deeper.py:99-103)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -71,7 +72,8 @@ class PointNetFeat(nn.Module):
             ftrans = STNkd(k=64, dtype=self.dtype, name="fstn")(x, train)
             x = jnp.einsum("bnc,bcd->bnd", x, ftrans)
         point_feat = x
-        x = _ConvBNStack((128,), dtype=self.dtype, name="mlp2")(x, train)
+        mid = (128, 128, 512) if self.deeper else (128,)
+        x = _ConvBNStack(mid, dtype=self.dtype, name="mlp2")(x, train)
         x = nn.Dense(1024, dtype=self.dtype, name="conv3")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=jnp.float32, name="bn3")(x)
@@ -95,6 +97,7 @@ class PointNetRegressor(nn.Module):
     feature_transform: bool = False
     affinetrans: bool = False
     hidden_size: tuple[int, int] = (1024, 1024)
+    deeper: bool = False  # pointnet_deeper backbone (models/pointnet_deeper.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -102,6 +105,7 @@ class PointNetRegressor(nn.Module):
         feat = PointNetFeat(global_feat=True,
                             feature_transform=self.feature_transform,
                             affinetrans=self.affinetrans,
+                            deeper=self.deeper,
                             dtype=self.dtype, name="feat")(x, train)
         h = nn.Dense(self.hidden_size[0], dtype=self.dtype)(feat)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,

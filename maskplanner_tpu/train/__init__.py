@@ -7,9 +7,11 @@ from .trainer import (
     build_loss_batch,
 )
 from .schedulers import lr_schedule, PSACDScheduler, apply_delayed_activations
+from .rollout import sample_autoregressive_inference_sop
 from . import checkpoints
 
 __all__ = [
+    "sample_autoregressive_inference_sop",
     "TrainState",
     "create_train_state",
     "make_train_step",

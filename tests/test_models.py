@@ -31,6 +31,36 @@ class TestModelZoo:
         assert out.shape == (2, 10, 3)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_pointnet_deeper(self, rng):
+        m = PointNetRegressor(out_vectors=10, outdim=3, deeper=True)
+        v = m.init(jax.random.PRNGKey(0), _pc(rng), train=False)
+        out = m.apply(v, _pc(rng), train=False)
+        assert out.shape == (2, 10, 3)
+        # deeper extractor has the extra conv stages (3 Dense in mlp2)
+        stack = v["params"]["feat"]["mlp2"]
+        assert len([k for k in stack if k.startswith("Dense")]) == 3
+
+    def test_factory_deeper_and_generator(self, rng):
+        cfg = load_args(argv=["config=[maskplanner,cuboids_v2]",
+                              "extra_data=[]", "lambda_points=1",
+                              "overlapping=0", "traj_points=40",
+                              "n_pred_traj_points=40",
+                              "random_input_dim=16"])
+        m = get_model(cfg, which="pointnet_deeper", io_type="paintnet")
+        v = m.init(jax.random.PRNGKey(0), _pc(rng), train=False)
+        out = m.apply(v, _pc(rng), train=False)
+        assert out.shape[0] == 2 and np.isfinite(np.asarray(out)).all()
+
+        g = get_model(cfg, which="mlp_generator", io_type="paintnet")
+        noise = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+        gv = g.init(jax.random.PRNGKey(0), noise, train=False)
+        gout = g.apply(gv, noise, train=False)
+        assert gout.shape[0] == 2
+
+        for dead in ("samplenet", "gnn", "transformer"):
+            with pytest.raises(NotImplementedError):
+                get_model(cfg, which=dead, io_type="paintnet")
+
     def test_pointnet_segmenter(self, rng):
         m = PointNetSegmenter(outdim=8)
         v = m.init(jax.random.PRNGKey(0), _pc(rng), train=False)
@@ -89,6 +119,29 @@ class TestModelZoo:
         assert pts.shape == (2, 6, 6) and eos.shape == (2, 6, 1)
         pts_ar, eos_ar = m.apply(v, src, None, train=False)
         assert pts_ar.shape == (2, 6, 6) and eos_ar.shape == (2, 6, 1)
+
+    def test_autoregressive_sop_rollout(self, rng):
+        """lax.scan rollout: shapes, finiteness, and history causality
+        (reference utils/training.py:8-67 contract)."""
+        from maskplanner_tpu.train import sample_autoregressive_inference_sop
+
+        H, D, steps, n_strokes, proto = 3, 6, 5, 4, 8
+        m = MLPRegressor(out_vectors=1, outdim_trasl=3, outdim_orient=3,
+                         hidden_sizes=(32,), confidence_scores=True)
+        x0 = jnp.zeros((n_strokes, proto + H * D), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x0, train=False)
+        sops = jnp.asarray(rng.normal(size=(n_strokes, proto)).astype(np.float32))
+        paths, eops = sample_autoregressive_inference_sop(
+            m.apply, v, sops, history_length=H, output_length=D,
+            max_rollout_steps=steps)
+        assert paths.shape == (n_strokes, steps, D)
+        assert eops.shape == (n_strokes, steps, 1)
+        assert np.isfinite(np.asarray(paths)).all()
+        # different SoPs -> different rollouts (conditioning works)
+        paths2, _ = sample_autoregressive_inference_sop(
+            m.apply, v, sops + 1.0, history_length=H, output_length=D,
+            max_rollout_steps=steps)
+        assert not np.allclose(np.asarray(paths), np.asarray(paths2))
 
     def test_factory_sops(self, rng):
         cfg = load_args(argv=["config=[maskplanner,cuboids_v2]",
