@@ -14,6 +14,7 @@ round.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -28,7 +29,6 @@ def main():
     from maskplanner_tpu.models import get_model
     from maskplanner_tpu.parallel import make_mesh, replicate, shard_batch
     from maskplanner_tpu.train import create_train_state, make_train_step
-    from maskplanner_tpu.train.trainer import make_forward
 
     config = load_args(argv=[
         "config=[maskplanner,windows_v2,longx_v2]",
@@ -49,7 +49,6 @@ def main():
     handler = LossHandler(config["loss"], config)
     weights = handler.init_weights()
     train_step = make_train_step(model, handler, config)
-    forward = make_forward(model)
 
     device_batch = shard_batch(batch, mesh)
 
@@ -63,27 +62,28 @@ def main():
     jax.block_until_ready(loss)
     step_ms = (time.perf_counter() - t0) / n_steps * 1000
 
-    # ---- inference --------------------------------------------------------
+    # ---- inference (loop-bench: N iterations inside one jitted fori_loop
+    # with input perturbation — repeated same-input dispatch is unreliable
+    # through the remote-execution tunnel) --------------------------------
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from tpu_bench_ops import loop_bench
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
     pc = device_batch["point_cloud"]
-    out = forward(state, pc)  # compile
-    jax.block_until_ready(out.traj)
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(state, pc)
-    jax.block_until_ready(out.traj)
-    infer_s = (time.perf_counter() - t0) / n_iters
+    infer_s = loop_bench(
+        lambda a: model.apply(variables, a, train=False).traj, pc, iters=10)
     pcs_per_sec = batch_size / infer_s
 
-    # single-sample latency (reference test_maskplanner.py:253-257 metric)
-    one = pc[:1]
-    out = forward(state, one)
-    jax.block_until_ready(out.traj)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out = forward(state, one)
-    jax.block_until_ready(out.traj)
-    latency_ms = (time.perf_counter() - t0) / 20 * 1000
+    # single-sample device compute latency (the reference's wall-clock
+    # FPS metric, test_maskplanner.py:253-257, measured without host
+    # dispatch overhead — the tunneled backend makes dispatch timing
+    # meaningless here)
+    latency_ms = loop_bench(
+        lambda a: model.apply(variables, a, train=False).traj,
+        pc[:1], iters=20) * 1000
 
     print(json.dumps({
         "metric": "inference_pointclouds_per_sec_per_chip",
@@ -92,7 +92,7 @@ def main():
         "vs_baseline": 1.0,
         "config": "windows_v2 flagship (pc=5120, out_vectors=450, masks=22)",
         "train_step_ms_batch64": round(step_ms, 2),
-        "single_sample_latency_ms": round(latency_ms, 2),
+        "single_sample_device_compute_ms": round(latency_ms, 2),
         "final_train_loss": round(float(loss), 4),
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),

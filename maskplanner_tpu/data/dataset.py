@@ -293,12 +293,23 @@ class DataLoader:
     """
 
     def __init__(self, dataset: PaintDataset, batch_size: int,
-                 shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 num_shards: int = 1, shard_index: int = 0):
+        """``num_shards``/``shard_index``: multi-host data parallelism —
+        every host computes the same seeded global permutation and takes its
+        interleaved slice, yielding per-host batches of
+        ``batch_size // num_shards`` rows (feed ``shard_batch_global``)."""
+        assert batch_size % num_shards == 0, (batch_size, num_shards)
+        assert num_shards == 1 or drop_last, (
+            "multi-host loading requires drop_last (uneven final batches "
+            "would desynchronize per-process shapes)")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def __len__(self):
         n = len(self.dataset)
@@ -311,8 +322,12 @@ class DataLoader:
         if self.shuffle:
             rng.shuffle(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        local_bs = self.batch_size // self.num_shards
         for start in range(0, stop, self.batch_size):
             idx = order[start : start + self.batch_size]
+            if self.num_shards > 1:
+                idx = idx[self.shard_index * local_bs:
+                          (self.shard_index + 1) * local_bs]
             yield collate([self.dataset.__getitem__(int(i), rng=rng)
                            for i in idx])
 

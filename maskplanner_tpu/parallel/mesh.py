@@ -34,3 +34,63 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (multi-process) data parallelism.
+#
+# The reference is single-GPU single-process (SURVEY.md §2.10); this layer is
+# new design surface: each host materializes only its shard of the global
+# batch, and ``shard_batch_global`` assembles the global jax.Array from the
+# per-process local data — XLA's collectives handle the rest. On a single
+# process this degenerates to ``shard_batch`` exactly.
+# ---------------------------------------------------------------------------
+
+def distributed_init():
+    """Initialize multi-process JAX if a coordinator is configured (no-op
+    otherwise). Call before any backend use on multi-host TPU pods."""
+    import os
+
+    if int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1 or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
+def global_mesh(axis_name: str = "data") -> Mesh:
+    """1-D data mesh over ALL devices of all processes."""
+    return Mesh(np.array(jax.devices()), (axis_name,))
+
+
+def shard_batch_global(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Assemble a globally-sharded batch from this process's local shard.
+
+    Each process passes its LOCAL per-host batch (global_batch /
+    process_count rows); the returned arrays are global jax.Arrays sharded
+    on the leading axis across the full mesh. Single-process: identical
+    result to ``shard_batch``.
+    """
+    sharding = data_sharding(mesh, axis_name)
+    scalar = NamedSharding(mesh, P())
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        if arr.ndim == 0:
+            out[k] = jax.device_put(arr, scalar)
+        else:
+            out[k] = jax.make_array_from_process_local_data(sharding, arr)
+    return out
+
+
+def host_shard_bounds(n: int, process_index: int | None = None,
+                      process_count: int | None = None) -> tuple[int, int]:
+    """Contiguous [start, stop) index range of this host's dataset shard.
+
+    Equal-size shards (floor division) keep per-host batch shapes static;
+    the at-most ``process_count - 1`` trailing samples are dropped, like a
+    drop-last batch sampler.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = n // pc
+    return pi * per, (pi + 1) * per

@@ -14,6 +14,47 @@ class TestMultichip:
             n_devices=8)
         assert "OK" in out
 
+    def test_multihost_loader_and_global_batch(self, clean_subprocess):
+        """Host-sharded DataLoader slices are disjoint, cover the global
+        permutation, and shard_batch_global reconstructs the same global
+        batch a single host would build (single-process degenerate case)."""
+        code = """
+import numpy as np, jax
+from maskplanner_tpu.utils.args import load_args
+from maskplanner_tpu.data.dataset import PaintDataset, DataLoader
+from maskplanner_tpu.parallel import make_mesh
+from maskplanner_tpu.parallel.mesh import (shard_batch_global, shard_batch,
+                                           host_shard_bounds)
+
+cfg = load_args(argv=['config=[maskplanner,cuboids_v2,longx_v2,debug]',
+                      'pc_points=64', 'n_pred_traj_points=80', 'batch_size=8'])
+ds = PaintDataset(cfg, split='train', size=16)
+
+# 2-shard loaders reconstruct the 1-shard global batch
+full = next(iter(DataLoader(ds, 8, shuffle=True, seed=3)))
+parts = [next(iter(DataLoader(ds, 8, shuffle=True, seed=3,
+                              num_shards=2, shard_index=i)))
+         for i in range(2)]
+rebuilt = {k: np.concatenate([p[k] for p in parts]) for k in full}
+for k in full:
+    np.testing.assert_array_equal(full[k], rebuilt[k])
+
+# single-process global assembly == plain shard_batch
+mesh = make_mesh(4)
+a = shard_batch(full, mesh)
+b = shard_batch_global(full, mesh)
+for k in a:
+    np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+s, e = host_shard_bounds(10, process_index=0, process_count=1)
+assert (s, e) == (0, 10)
+s, e = host_shard_bounds(10, process_index=2, process_count=3)
+assert (s, e) == (6, 9)
+print('MULTIHOST OK')
+"""
+        out = clean_subprocess(code, n_devices=4)
+        assert "MULTIHOST OK" in out
+
     def test_data_parallel_matches_single_device(self, clean_subprocess):
         """Gradient all-reduce over the mesh must equal the single-device
         result (same global batch)."""
