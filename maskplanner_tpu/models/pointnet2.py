@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.sampling import farthest_point_sample, query_ball_point, index_points, knn
+from ..ops.sampling import (farthest_point_sample, query_ball_point,
+                            index_points, knn, _use_pallas)
+
+
+def _use_fused_group() -> bool:
+    return _use_pallas()
 
 
 class PointMLP(nn.Module):
@@ -75,13 +80,25 @@ class SetAbstraction(nn.Module):
         else:
             fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
             new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
-            group_idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
             if full_points is not None:
                 # group the full high-dim vectors while sampling/balling in
                 # R^3 (reference sample_and_group full_points path,
                 # models/pointnet2_utils.py:139-143)
+                group_idx = query_ball_point(self.radius, self.nsample, xyz,
+                                             new_xyz)
                 grouped = index_points(full_points, group_idx)
+            elif features is not None and _use_fused_group():
+                # fused ball-query + gather: XLA's row gathers of the wide
+                # feature table are the sa2 hot spot (tile-granular DMAs);
+                # the Pallas kernel extracts neighbour values with one-hot
+                # MXU contractions entirely in VMEM (2.8x measured)
+                from ..ops.pallas.group_gather import ball_group_pallas
+
+                grouped, _ = ball_group_pallas(self.radius, self.nsample,
+                                               xyz, new_xyz, features)
             else:
+                group_idx = query_ball_point(self.radius, self.nsample, xyz,
+                                             new_xyz)
                 grouped_xyz = index_points(xyz, group_idx)  # (B, S, K, 3)
                 grouped = grouped_xyz - new_xyz[:, :, None, :]
                 if features is not None:

@@ -36,8 +36,10 @@ def loop_bench(fn, x, iters=20, reduce_out=None):
 
     @jax.jit
     def null(x0):
+        first = x0.ravel()[0].astype(jnp.float32)
+
         def body(i, acc):
-            return acc + x0[0, 0, 0] + i.astype(jnp.float32)
+            return acc + first + i.astype(jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 

@@ -91,6 +91,62 @@ class TestNNArgminKernel:
         np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
 
 
+class TestFusedGroupGather:
+    def test_matches_xla_grouping(self, rng):
+        from maskplanner_tpu.ops.pallas.group_gather import ball_group_pallas
+        from maskplanner_tpu.ops.sampling import query_ball_point, index_points
+
+        B, N, S, K, F = 2, 256, 64, 8, 5
+        xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        q = xyz[:, :S]
+        feat = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+        ref_idx = query_ball_point(0.5, K, xyz, q)
+        ref_rel = index_points(xyz, ref_idx) - q[:, :, None, :]
+        ref_f = index_points(feat, ref_idx)
+        grouped, idx = ball_group_pallas(0.5, K, xyz, q, feat)
+        np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(idx))
+        np.testing.assert_allclose(np.asarray(ref_rel),
+                                   np.asarray(grouped[..., :3]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref_f),
+                                   np.asarray(grouped[..., 3:]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match_take_path(self, rng):
+        import jax
+        from maskplanner_tpu.ops.pallas.group_gather import ball_group_pallas
+        from maskplanner_tpu.ops.sampling import query_ball_point, index_points
+
+        B, N, S, K, F = 2, 128, 32, 4, 6
+        xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        q = xyz[:, :S]
+        feat = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+
+        def loss_fused(f, x):
+            g, _ = ball_group_pallas(0.5, K, x, q, f)
+            return jnp.sum(g[..., 3:] ** 2) + jnp.sum(g[..., :3] ** 3)
+
+        def loss_ref(f, x):
+            gi = query_ball_point(0.5, K, x, q)
+            rel = index_points(x, gi) - q[:, :, None, :]
+            return jnp.sum(index_points(f, gi) ** 2) + jnp.sum(rel ** 3)
+
+        gf1 = jax.grad(loss_fused)(feat, xyz)
+        gf2 = jax.grad(loss_ref)(feat, xyz)
+        np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_empty_ball_fallback(self, rng):
+        """Queries with no in-radius point fall back to index 0; empty
+        slots repeat the first neighbour (reference semantics)."""
+        from maskplanner_tpu.ops.pallas.group_gather import ball_group_pallas
+
+        xyz = jnp.asarray(rng.normal(size=(1, 128, 3)).astype(np.float32))
+        far_q = jnp.full((1, 8, 3), 100.0, jnp.float32)
+        grouped, idx = ball_group_pallas(0.1, 4, xyz, far_q)
+        np.testing.assert_array_equal(np.asarray(idx), 0)
+
+
 class TestFPSKernel:
     def test_matches_xla(self, rng):
         from maskplanner_tpu.ops.pallas.fps import fps_pallas
