@@ -154,9 +154,23 @@ def _ball_group_fwd(radius, nsample, xyz, new_xyz, features):
     return (grouped, idx), res
 
 
+def _scatter_by_onehot(flat_idx, d_vals, n_rows):
+    """Index scatter-add expressed as a one-hot contraction.
+
+    XLA's native scatter-add serializes on TPU (measured 10.9 ms at the
+    sa2 training shape); the equivalent one-hot einsum rides the MXU with
+    the comparison fused into the operand load (0.4-2 ms). flat_idx:
+    (B, M); d_vals: (B, M, C) -> (B, n_rows, C)."""
+    onehot = (flat_idx[:, :, None]
+              == jnp.arange(n_rows)[None, None, :]).astype(d_vals.dtype)
+    return jnp.einsum("bmn,bmc->bnc", onehot, d_vals,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _ball_group_bwd(radius, nsample, res, cts):
-    """Scatter-add of the cotangents back to the gathered sources — the
-    exact VJP of a take-based gather (indices are piecewise constant)."""
+    """VJP of the fused gather: cotangents scatter back to the gathered
+    sources (indices are piecewise constant). Unused branches (e.g. d_xyz
+    when the point cloud is input data) are dead-code-eliminated by XLA."""
     idx, xyz_shape, new_shape, feat_shape = res
     d_grouped, _ = cts
     B, N, _ = xyz_shape
@@ -164,17 +178,14 @@ def _ball_group_bwd(radius, nsample, res, cts):
     # rel = xyz[idx] - new_xyz  ->  d_xyz scatter(+), d_new -sum over K
     d_rel = d_grouped[..., :3]
     flat_idx = idx.reshape(B, -1)                   # (B, S*K)
-    d_xyz = jnp.zeros(xyz_shape, d_rel.dtype)
-    d_xyz = d_xyz.at[jnp.arange(B)[:, None], flat_idx].add(
-        d_rel.reshape(B, -1, 3))
+    d_xyz = _scatter_by_onehot(flat_idx, d_rel.reshape(B, -1, 3), N)
     d_new = -d_rel.sum(axis=2)
 
     d_feat = None
     if feat_shape is not None:
         d_g = d_grouped[..., 3:]
-        d_feat = jnp.zeros(feat_shape, d_g.dtype)
-        d_feat = d_feat.at[jnp.arange(B)[:, None], flat_idx].add(
-            d_g.reshape(B, -1, feat_shape[-1]))
+        d_feat = _scatter_by_onehot(flat_idx,
+                                    d_g.reshape(B, -1, feat_shape[-1]), N)
     return d_xyz, d_new, d_feat
 
 
