@@ -14,6 +14,36 @@ import pytest
 from maskplanner_tpu.utils.args import load_args
 
 
+class TestCoverageMetric:
+    def test_coverage_math(self, tmp_path, monkeypatch):
+        """compute_paint_coverage_per_face: identical thickness -> 100%,
+        empty prediction -> 0% (reference percentile-threshold math)."""
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "standalone"))
+        import compute_paint_coverage_per_face as cov_tool
+
+        rng = np.random.default_rng(0)
+        gt_dir = tmp_path / "gt"
+        good = tmp_path / "good"
+        bad = tmp_path / "bad"
+        for d in (gt_dir, good, bad):
+            d.mkdir()
+        n_faces = 50
+        thick = np.repeat(rng.uniform(1, 30, n_faces), 3)  # 3 verts/face
+        thick[:9] = 0.0  # some unpainted faces
+        for name in ("obj_a.txt", "obj_b.txt"):
+            np.savetxt(gt_dir / name, thick, delimiter=";")
+            np.savetxt(good / name, thick, delimiter=";")
+            np.savetxt(bad / name, np.zeros_like(thick), delimiter=";")
+
+        monkeypatch.setattr(sys, "argv", [
+            "compute_paint_coverage_per_face.py", "--gt-run", str(gt_dir),
+            "--runs", str(good), str(bad), "--percentile", "10"])
+        coverages = cov_tool.main()
+        assert np.allclose(coverages[0], 1.0)
+        assert np.allclose(coverages[1], 0.0)
+
+
 @pytest.mark.slow
 class TestEvalAndRenderDrivers:
     @pytest.fixture(scope="class")
@@ -57,6 +87,28 @@ class TestEvalAndRenderDrivers:
         render_results.main()
         pngs = glob.glob(os.path.join(run_dir, "renders", "*.png"))
         assert pngs, "render driver wrote no images"
+
+    def test_simulator_export(self, run_dir, monkeypatch, tmp_path):
+        """from_pred_to_offline_v2: .npy dumps -> denormalized ;-separated
+        robot programs with Euler angles + strokeId column."""
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "standalone"))
+        import from_pred_to_offline_v2 as export_tool
+
+        out = tmp_path / "programs"
+        monkeypatch.setattr(sys, "argv", [
+            "from_pred_to_offline_v2.py", "--run", run_dir,
+            "--output_dir", str(out), "--model", "last"])
+        export_tool.main()
+        pred_files = glob.glob(str(out / "pred_*" / "*.txt"))
+        gt_files = glob.glob(str(out / "gt_*" / "*.txt"))
+        assert pred_files and gt_files
+        header = open(pred_files[0]).readline().strip().split(";")
+        assert header == ["X", "Y", "Z", "A", "B", "C", "strokeId"]
+        rows = np.genfromtxt(pred_files[0], delimiter=";", skip_header=1)
+        assert rows.shape[1] == 7 and np.isfinite(rows).all()
+        # denormalized back to workspace scale (cuboids-v2 factor ~890)
+        assert np.abs(rows[:, :3]).max() > 10.0
 
     def test_render_with_postprocess(self, run_dir, monkeypatch):
         import matplotlib
