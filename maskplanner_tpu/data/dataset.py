@@ -272,6 +272,15 @@ class PaintDataset:
             sps, order2 = extras.get_vectors_per_stroke(segments, seg_ids)
             hist, tgt, pid, eop = extras.history_batches_v2(
                 sps, order2, int(cfg["substroke_points"]))
+            if ("general_noise" in (cfg.get("augmentations") or [])
+                    and cfg.get("sample_substroke_v2")):
+                # noisy teacher forcing (reference paintnet_ODv1.py:429-448)
+                hist = extras.add_history_noise(
+                    hist, self.lambda_points, self.outdim,
+                    float(cfg.get("trasl_noise_stdev") or 0.01),
+                    float(cfg.get("orient_noise_stdev") or 0.01),
+                    float(cfg["weight_orient"]),
+                    np.random.default_rng(index))
             item["strokewise_history_batch"] = hist.astype(np.float32)
             item["strokewise_target_batch"] = tgt.astype(np.float32)
             item["strokewise_stroke_ids_batch"] = pid

@@ -134,6 +134,30 @@ class TestDataset:
 
 
 class TestExtras:
+    def test_general_noise_augmentation(self):
+        """general_noise perturbs teacher-forcing histories but keeps unit
+        orientations (reference paintnet_ODv1.py:429-448)."""
+        cfg = small_config()
+        cfg["load_extra_data"] = ["history_of_segments_per_stroke_v2"]
+        cfg["substroke_points"] = 3
+        cfg["sample_substroke_v2"] = True
+        cfg["trasl_noise_stdev"] = 0.05
+        cfg["orient_noise_stdev"] = 0.05
+        clean = PaintDataset(cfg, split="train", size=2)[0]
+        cfg["augmentations"] = ["general_noise"]
+        noisy = PaintDataset(cfg, split="train", size=2)[0]
+        h_clean = clean["strokewise_history_batch"]
+        h_noisy = noisy["strokewise_history_batch"]
+        assert h_clean.shape == h_noisy.shape
+        assert not np.allclose(h_clean, h_noisy)
+        # orientation channels renormalized to weight_orient for non-empty rows
+        lam, outdim = int(cfg["lambda_points"]), 6
+        hn = h_noisy.reshape(h_noisy.shape[0], h_noisy.shape[1], lam, outdim)
+        norms = np.linalg.norm(hn[..., 3:], axis=-1)
+        nonzero = norms > 1e-6
+        np.testing.assert_allclose(norms[nonzero],
+                                   float(cfg["weight_orient"]), rtol=1e-5)
+
     def test_history_v2(self, rng):
         strokes = [rng.normal(size=(5, 8)), rng.normal(size=(3, 8))]
         hist, tgt, pid, eop = extras.history_batches_v2(strokes, [0, 1], K=2)
