@@ -9,6 +9,15 @@ one-hot contraction on the VPU.
 
 Layout: channel-sublane (BB, C, N) blocks (lane axis = N) with a grid over
 batch chunks; batch-parallel distance updates keep the VPU fully occupied.
+
+The farthest-point argmax is expressed as max + masked-min-of-f32-index
+(ties -> smallest index, same as jnp.argmax): Mosaic fails to legalize
+jnp.argmax's f32->i32 vector materialization when the lane axis is a
+single 128-tile. Indices stay f32 throughout (exact for N < 2^24) and the
+int cast happens outside the kernel. N is padded to the lane tile
+explicitly with the padded columns' running distance pinned to -1 so they
+can never be selected (implicit zero-padding would inject fake points at
+the origin).
 """
 from __future__ import annotations
 
@@ -22,36 +31,38 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e10
 
 
-def _kernel(xyz_ref, out_ref, *, npoint: int):
-    # xyz_ref: (BB, C, N); out_ref: (BB, npoint) int32
+def _kernel(xyz_ref, out_ref, *, npoint: int, n_real: int):
+    # xyz_ref: (BB, C, N); out_ref: (BB, npoint) f32 indices
     BB = xyz_ref.shape[0]
     N = xyz_ref.shape[2]
     x0 = xyz_ref[:, 0, :]  # (BB, N)
     x1 = xyz_ref[:, 1, :]
     x2 = xyz_ref[:, 2, :]
-    col = jax.lax.broadcasted_iota(jnp.int32, (BB, N), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (BB, N), 1).astype(jnp.float32)
     col_out = jax.lax.broadcasted_iota(jnp.int32, (BB, npoint), 1)
+    dist0 = jnp.where(col < n_real, jnp.float32(_BIG), -1.0)
 
     def body(i, carry):
         farthest, dist, acc = carry
         # record selection via one-hot accumulate (Mosaic has no unaligned
         # dynamic lane stores)
-        acc = acc + jnp.where(col_out == i, farthest[:, None], 0)
+        acc = acc + jnp.where(col_out == i, farthest[:, None], 0.0)
         onehot = (col == farthest[:, None]).astype(jnp.float32)
         # per-coordinate centroid then squared distance (VPU)
         c0 = jnp.sum(onehot * x0, axis=1)[:, None]
         c1 = jnp.sum(onehot * x1, axis=1)[:, None]
         c2 = jnp.sum(onehot * x2, axis=1)[:, None]
         d = (x0 - c0) ** 2 + (x1 - c1) ** 2 + (x2 - c2) ** 2
-        dist = jnp.minimum(dist, d)
-        nxt = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+        dist = jnp.where(dist < 0, dist, jnp.minimum(dist, d))
+        m = jnp.max(dist, axis=-1, keepdims=True)
+        nxt = jnp.min(jnp.where(dist >= m, col, jnp.float32(_BIG)), axis=-1)
         return nxt, dist, acc
 
     _, _, acc = jax.lax.fori_loop(
         0, npoint, body,
-        (jnp.zeros((BB,), jnp.int32),
-         jnp.full((BB, N), _BIG, jnp.float32),
-         jnp.zeros((BB, npoint), jnp.int32)))
+        (jnp.zeros((BB,), jnp.float32),
+         dist0,
+         jnp.zeros((BB, npoint), jnp.float32)))
     out_ref[:] = acc
 
 
@@ -64,17 +75,18 @@ def fps_pallas(xyz: jax.Array, npoint: int, batch_tile: int = 8) -> jax.Array:
     # batch axis is padded up instead
     bt = batch_tile
     pad_b = (-B) % bt
+    pad_n = (-N) % 128
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
-    if pad_b:
-        xyz_t = jnp.pad(xyz_t, ((0, pad_b), (0, 0), (0, 0)))
+    if pad_b or pad_n:
+        xyz_t = jnp.pad(xyz_t, ((0, pad_b), (0, 0), (0, pad_n)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, npoint=npoint),
-        out_shape=jax.ShapeDtypeStruct((B + pad_b, npoint), jnp.int32),
+        functools.partial(_kernel, npoint=npoint, n_real=N),
+        out_shape=jax.ShapeDtypeStruct((B + pad_b, npoint), jnp.float32),
         grid=(pl.cdiv(B + pad_b, bt),),
-        in_specs=[pl.BlockSpec((bt, 3, N), lambda b: (b, 0, 0),
+        in_specs=[pl.BlockSpec((bt, 3, N + pad_n), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((bt, npoint), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
     )(xyz_t)
-    return out[:B]
+    return out[:B].astype(jnp.int32)
