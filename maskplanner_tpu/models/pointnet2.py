@@ -24,6 +24,16 @@ def _use_fused_group() -> bool:
     return _use_pallas()
 
 
+def _use_fused_sa() -> bool:
+    """Whole-level fused SA kernel (opt out with MASKPLANNER_NO_FUSED_SA=1
+    for A/B benchmarking)."""
+    import os
+
+    if os.environ.get("MASKPLANNER_NO_FUSED_SA"):
+        return False
+    return _use_pallas()
+
+
 class PointMLP(nn.Module):
     """Shared per-point MLP: Dense -> BatchNorm -> ReLU stack.
 
@@ -65,10 +75,32 @@ class SetAbstraction(nn.Module):
     group_all: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def _fused_inference(self, xyz, features, fps_key):
+        """Whole-level fused Pallas path (eval only): ball query + gather +
+        folded-BN MLP + max-pool in one VMEM-resident kernel. Numerically
+        equivalent to the unfused path up to BN-folding reassociation."""
+        from ..ops.pallas.fused_sa import (fused_set_abstraction,
+                                           fold_pointmlp_params)
+
+        fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+        new_xyz = index_points(xyz, fps_idx)            # (B, S, 3)
+        mlp = PointMLP(self.mlp, dtype=self.dtype)
+        cin = 3 + (0 if features is None else features.shape[-1])
+        # materialize/bind the submodule params without running the big
+        # unfused compute (eval mode: BatchNorm does not mutate stats)
+        mlp(jnp.zeros((1, 1, 1, cin), xyz.dtype), train=False)
+        folded = fold_pointmlp_params(mlp.variables)
+        new_features = fused_set_abstraction(self.radius, self.nsample,
+                                             xyz, new_xyz, features, folded)
+        return new_xyz, new_features.astype(xyz.dtype)
+
     @nn.compact
     def __call__(self, xyz, features, train: bool, fps_key=None,
                  full_points=None):
         B, N, _ = xyz.shape
+        if (not train and not self.group_all and full_points is None
+                and _use_fused_sa()):
+            return self._fused_inference(xyz, features, fps_key)
         if self.group_all:
             # single global group (models/pointnet2_utils.py:152-168)
             new_xyz = jnp.zeros((B, 1, 3), xyz.dtype)
@@ -201,7 +233,11 @@ def assemble_pose_output(positions, normals, out_vectors: int, weight_orient: fl
     B = positions.shape[0]
     p = positions.reshape(B, -1, 3)
     n = jnp.tanh(normals).reshape(B, -1, 3)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # rsqrt(|n|^2 + eps): keeps the backward finite when a raw orientation
+    # is exactly 0 (happens when BatchNorm sees a batch of identical rows —
+    # e.g. overfitting mode at batch 1 — and its output collapses to beta=0;
+    # x / max(|x|, 1e-12) NaNs there)
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
     n = n * weight_orient
     out = jnp.concatenate([p, n], axis=-1)  # (B, out_vectors*λ, 6)
     return out.reshape(B, out_vectors, -1)

@@ -156,3 +156,87 @@ class TestFPSKernel:
         ref = np.asarray(farthest_point_sample(xyz, 48))
         got = np.asarray(fps_pallas(xyz, 48))
         np.testing.assert_array_equal(ref, got)
+
+
+class TestFusedSetAbstraction:
+    def _ref_sa(self, radius, K, xyz, q, feat, folded):
+        """Unfused reference: ball query + gather + folded affine MLP + max."""
+        from maskplanner_tpu.ops.sampling import query_ball_point, index_points
+
+        gi = query_ball_point(radius, K, xyz, q)
+        x = index_points(xyz, gi) - q[:, :, None, :]
+        if feat is not None:
+            x = jnp.concatenate([x, index_points(feat, gi)], axis=-1)
+        for w, b in folded:
+            x = jnp.maximum(jnp.einsum("ci,bski->bskc", w, x) + b, 0.0)
+        return x.max(axis=2)
+
+    def _folded(self, rng, cin, widths):
+        out = []
+        c = cin
+        for w in widths:
+            out.append((jnp.asarray(rng.normal(size=(w, c)).astype(np.float32))
+                        * 0.3,
+                        jnp.asarray(rng.normal(size=(w,)).astype(np.float32))))
+            c = w
+        return out
+
+    @pytest.mark.parametrize("feat_dim", [None, 13])
+    def test_matches_unfused(self, rng, feat_dim):
+        from maskplanner_tpu.ops.pallas.fused_sa import fused_set_abstraction
+
+        B, N, S, K = 2, 200, 70, 8
+        xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        q = xyz[:, :S]
+        feat = None
+        if feat_dim:
+            feat = jnp.asarray(
+                rng.normal(size=(B, N, feat_dim)).astype(np.float32))
+        folded = self._folded(rng, 3 + (feat_dim or 0), (16, 16, 32))
+        ref = self._ref_sa(0.5, K, xyz, q, feat, folded)
+        got = fused_set_abstraction(0.5, K, xyz, q, feat, folded, tile_s=64)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_empty_ball_fallback(self, rng):
+        from maskplanner_tpu.ops.pallas.fused_sa import fused_set_abstraction
+
+        xyz = jnp.asarray(rng.normal(size=(1, 128, 3)).astype(np.float32))
+        far_q = jnp.full((1, 8, 3), 100.0, jnp.float32)
+        folded = self._folded(rng, 3, (8, 16))
+        ref = self._ref_sa(0.1, 4, xyz, far_q, None, folded)
+        got = fused_set_abstraction(0.1, 4, xyz, far_q, None, folded,
+                                    tile_s=8)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_setabstraction_module_fused_path(self, rng, monkeypatch):
+        """SetAbstraction eval forward: fused kernel == unfused module
+        (up to BN-folding reassociation)."""
+        import jax
+        from maskplanner_tpu.models import pointnet2 as p2
+
+        B, N = 2, 128
+        xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        feat = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
+        sa = p2.SetAbstraction(32, 0.4, 8, (16, 16, 32))
+        v = sa.init(jax.random.PRNGKey(0), xyz, feat, True)
+        # perturb batch_stats away from init (mean 0 / var 1) so folding
+        # is actually exercised
+        v = jax.tree.map(lambda a: a, v)
+        stats = jax.tree.map(
+            lambda a: a + 0.3 * jnp.arange(a.size, dtype=a.dtype) / a.size,
+            v["batch_stats"])
+        v = {"params": v["params"], "batch_stats": stats}
+
+        monkeypatch.setattr(p2, "_use_fused_sa", lambda: False)
+        monkeypatch.setattr(p2, "_use_fused_group", lambda: False)
+        ref_xyz, ref_f = sa.apply(v, xyz, feat, False,
+                                  fps_key=jax.random.PRNGKey(1))
+        monkeypatch.setattr(p2, "_use_fused_sa", lambda: True)
+        got_xyz, got_f = sa.apply(v, xyz, feat, False,
+                                  fps_key=jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(ref_xyz), np.asarray(got_xyz),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref_f), np.asarray(got_f),
+                                   rtol=1e-3, atol=1e-4)
