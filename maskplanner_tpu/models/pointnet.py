@@ -107,15 +107,25 @@ class PointNetRegressor(nn.Module):
                             affinetrans=self.affinetrans,
                             deeper=self.deeper,
                             dtype=self.dtype, name="feat")(x, train)
+        # reference quirk: BatchNorm is bypassed entirely when batch == 1
+        # (models/pointnet.py:200-208); the shape is static under jit so
+        # this is a trace-time branch. The BN modules are still invoked
+        # (running-average mode, output discarded) so the parameter tree
+        # is identical across batch sizes.
+        bypass_bn = x.shape[0] == 1
+
+        def maybe_bn(h):
+            ra = True if bypass_bn else not train
+            bn = nn.BatchNorm(use_running_average=ra, momentum=0.9,
+                              dtype=jnp.float32)
+            out = bn(h)
+            return h if bypass_bn else out
+
         h = nn.Dense(self.hidden_size[0], dtype=self.dtype)(feat)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=jnp.float32)(h)
-        h = nn.relu(h)
+        h = nn.relu(maybe_bn(h))
         h = nn.Dense(self.hidden_size[1], dtype=self.dtype)(h)
         h = nn.Dropout(0.3, deterministic=not train)(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=jnp.float32)(h)
-        h = nn.relu(h)
+        h = nn.relu(maybe_bn(h))
         out = nn.Dense(self.out_vectors * self.outdim, dtype=self.dtype)(h)
         return out.reshape(-1, self.out_vectors, self.outdim)
 

@@ -151,3 +151,30 @@ class TestModelZoo:
         v = m.init(jax.random.PRNGKey(0), x, train=False)
         tokens, conf = m.apply(v, x, train=False)
         assert tokens.shape == (2, 8, 6)
+
+
+class TestBatchOneBNBypass:
+    def test_pointnet_regressor_batch1_bypasses_bn(self, rng):
+        """Reference quirk: PointNetRegressor skips head BatchNorm when
+        batch == 1 (models/pointnet.py:200-208). Param tree must be
+        identical across batch sizes."""
+        import jax
+        import jax.numpy as jnp
+        from maskplanner_tpu.models.pointnet import PointNetRegressor
+
+        m = PointNetRegressor(out_vectors=5, outdim=6)
+        x1 = jnp.asarray(rng.normal(size=(1, 32, 3)).astype(np.float32))
+        x2 = jnp.concatenate([x1, x1], axis=0)
+        v1 = m.init(jax.random.PRNGKey(0), x1, train=True)
+        v2 = m.init(jax.random.PRNGKey(0), x2, train=True)
+        assert (jax.tree_util.tree_structure(v1)
+                == jax.tree_util.tree_structure(v2))
+
+        out1, _ = m.apply(v1, x1, train=True, mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+        assert np.isfinite(np.asarray(out1)).all()
+        # batch-2 of identical rows goes THROUGH BN (zero-variance
+        # normalization) -> different output than the bypassed batch-1
+        out2, _ = m.apply(v1, x2, train=True, mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+        assert not np.allclose(np.asarray(out1[0]), np.asarray(out2[0]))
