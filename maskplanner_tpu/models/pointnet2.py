@@ -98,8 +98,14 @@ class SetAbstraction(nn.Module):
     def __call__(self, xyz, features, train: bool, fps_key=None,
                  full_points=None):
         B, N, _ = xyz.shape
+        # Whole-level fused kernel pays off when the gathered rows are wide
+        # relative to the source set (sa2: Cin=131, N=512 -> 3.1 vs 4.9 ms).
+        # For the xyz-only first level the unfused path with the blocked
+        # fused gather measures faster (10.8 vs 13.1 ms) — the fused
+        # kernel's serial per-tile MLP phases don't pipeline as well as
+        # XLA's batched MLP over the grouped tensor.
         if (not train and not self.group_all and full_points is None
-                and _use_fused_sa()):
+                and features is not None and _use_fused_sa()):
             return self._fused_inference(xyz, features, fps_key)
         if self.group_all:
             # single global group (models/pointnet2_utils.py:152-168)
@@ -119,11 +125,13 @@ class SetAbstraction(nn.Module):
                 group_idx = query_ball_point(self.radius, self.nsample, xyz,
                                              new_xyz)
                 grouped = index_points(full_points, group_idx)
-            elif features is not None and _use_fused_group():
-                # fused ball-query + gather: XLA's row gathers of the wide
-                # feature table are the sa2 hot spot (tile-granular DMAs);
-                # the Pallas kernel extracts neighbour values with one-hot
-                # MXU contractions entirely in VMEM (2.8x measured)
+            elif _use_fused_group():
+                # fused ball-query + gather: XLA's row gathers are
+                # tile-granular DMAs (6.4 ms for sa1's (B,S,K) rows of
+                # width-3 xyz; most of sa2's cost for the wide feature
+                # table); the Pallas kernel extracts neighbour values with
+                # one-hot MXU contractions entirely in VMEM (blocked
+                # two-stage for the narrow sa1 table)
                 from ..ops.pallas.group_gather import ball_group_pallas
 
                 grouped, _ = ball_group_pallas(self.radius, self.nsample,

@@ -53,9 +53,22 @@ def _kernel(xyz_ref, out_ref, *, npoint: int, n_real: int):
         c1 = jnp.sum(onehot * x1, axis=1)[:, None]
         c2 = jnp.sum(onehot * x2, axis=1)[:, None]
         d = (x0 - c0) ** 2 + (x1 - c1) ** 2 + (x2 - c2) ** 2
-        dist = jnp.where(dist < 0, dist, jnp.minimum(dist, d))
-        m = jnp.max(dist, axis=-1, keepdims=True)
-        nxt = jnp.min(jnp.where(dist >= m, col, jnp.float32(_BIG)), axis=-1)
+        if n_real < N:
+            # keep padded lanes pinned below every real distance
+            dist = jnp.where(dist < 0, dist, jnp.minimum(dist, d))
+        else:
+            dist = jnp.minimum(dist, d)
+        if N > 128:
+            # native argmax (ties -> first index)
+            nxt = jnp.argmax(dist, axis=-1).astype(jnp.float32)
+        else:
+            # Mosaic fails to legalize argmax's f32->i32 vector
+            # materialization when the lane axis is a single 128-tile;
+            # max + masked-min-of-f32-index is equivalent (~3x slower,
+            # only used at these tiny shapes)
+            m = jnp.max(dist, axis=-1, keepdims=True)
+            nxt = jnp.min(jnp.where(dist >= m, col, jnp.float32(_BIG)),
+                          axis=-1)
         return nxt, dist, acc
 
     _, _, acc = jax.lax.fori_loop(

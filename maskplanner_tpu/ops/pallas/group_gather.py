@@ -32,9 +32,18 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e7  # > any point index, exactly representable in f32
 
 
-def _kernel(xt_ref, qt_ref, out_ref, idx_ref, *, radius2: float, K: int):
+def _mm(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+
+def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0):
     # xt_ref: (1, C, N) channels (rows 0..2 = xyz); qt_ref: (1, 3, TS)
-    # out_ref: (1, C, K, TS); idx_ref: (1, K, TS)
+    # refs: [xtb (1, C_pad*block_w, N/block_w) if block_w], out_ref
+    # (1, C, K, TS), idx_ref (1, K, TS)
+    xtb_ref = refs[0] if block_w else None
+    out_ref, idx_ref = refs[-2], refs[-1]
     xt = xt_ref[0]                      # (C, N)
     N = xt.shape[1]
     TS = qt_ref.shape[2]
@@ -49,7 +58,31 @@ def _kernel(xt_ref, qt_ref, out_ref, idx_ref, *, radius2: float, K: int):
     within = d2 <= radius2
     idx_f = jax.lax.broadcasted_iota(jnp.int32, (TS, N), 1).astype(jnp.float32)
     masked_idx = jnp.where(within, idx_f, _BIG)
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, TS), 0).astype(jnp.float32)
+
+    # value extraction: exact two-pass bf16 hi/lo one-hot contractions
+    # (one-hot factors exact in bf16; hi+lo rebuilds f32 to ~1e-5 rel),
+    # ~3x cheaper than a HIGHEST-precision f32 contraction. Narrow
+    # channel counts use the two-stage block gather (see fused_sa.py):
+    # block one-hot over N/block_w columns, then in-block lane select +
+    # constant segment-sum matmul.
+    if block_w:
+        xtb = xtb_ref[0]
+        xtb_hi = xtb.astype(jnp.bfloat16)
+        xtb_lo = (xtb - xtb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        NB, R = xtb.shape[1], xtb.shape[0]
+        c_pad = R // block_w
+        iota_nb = jax.lax.broadcasted_iota(
+            jnp.int32, (NB, TS), 0).astype(jnp.float32)
+        row_mod = (jax.lax.broadcasted_iota(jnp.int32, (R, TS), 0)
+                   % block_w).astype(jnp.float32)
+        seg_r = jax.lax.broadcasted_iota(jnp.int32, (c_pad, R), 1)
+        seg_c = jax.lax.broadcasted_iota(jnp.int32, (c_pad, R), 0)
+        seg = (seg_r // block_w == seg_c).astype(jnp.float32)
+    else:
+        iota_n = jax.lax.broadcasted_iota(
+            jnp.int32, (N, TS), 0).astype(jnp.float32)
+        xt_hi = xt.astype(jnp.bfloat16)
+        xt_lo = (xt - xt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     prev = jnp.full((TS, 1), -1.0, jnp.float32)
     first = None
@@ -65,11 +98,19 @@ def _kernel(xt_ref, qt_ref, out_ref, idx_ref, *, radius2: float, K: int):
                                 jnp.where(first >= _BIG, 0.0, first), cur)
         prev = cur[:, None]
 
-        onehot = (iota_n == cur_eff[None, :]).astype(jnp.float32)  # (N, TS)
-        g = jax.lax.dot_general(
-            xt, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                   # (C, TS)
+        if block_w:
+            hi = jnp.floor(cur_eff * (1.0 / block_w))
+            lo = cur_eff - hi * block_w
+            bohot = (iota_nb == hi[None, :]).astype(jnp.bfloat16)
+            gb = _mm(xtb_hi, bohot) + _mm(xtb_lo, bohot)          # (R, TS)
+            sel = jnp.where(row_mod == lo[None, :], gb, 0.0)
+            g = jax.lax.dot_general(
+                seg, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)[:xt.shape[0]]
+        else:
+            onehot = (iota_n == cur_eff[None, :]).astype(jnp.bfloat16)
+            g = _mm(xt_hi, onehot) + _mm(xt_lo, onehot)           # (C, TS)
         out_ref[0, :, k, :] = g
         idx_ref[0, k, :] = cur_eff.astype(jnp.int32)
 
@@ -90,26 +131,46 @@ def _ball_group_raw(radius: float, nsample: int, xt: jax.Array,
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pads)))
 
     grid = (B, (S + pads) // tile_s)
+    npd = N + padn
+
+    # two-stage block gather for narrow channel counts (sa1 grouping:
+    # C=3, N=5120) — full-N one-hot tiles scale with N/128 per slot
+    block_w = 16 if C <= 16 else 0
+    extra_specs, extra_ops = [], []
+    if block_w:
+        c_pad = -(-C // 8) * 8
+        nb = npd // block_w
+        xtp = xt.astype(jnp.float32)
+        if c_pad > C:
+            xtp = jnp.pad(xtp, ((0, 0), (0, c_pad - C), (0, 0)))
+        xtb = jnp.transpose(xtp.reshape(B, c_pad, nb, block_w),
+                            (0, 1, 3, 2)).reshape(B, c_pad * block_w, nb)
+        extra_specs.append(pl.BlockSpec((1, c_pad * block_w, nb),
+                                        lambda b, s: (b, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        extra_ops.append(xtb)
+
     out, idx = pl.pallas_call(
-        functools.partial(_kernel, radius2=float(radius) ** 2, K=nsample),
+        functools.partial(_kernel, radius2=float(radius) ** 2, K=nsample,
+                          block_w=block_w),
         out_shape=(
             jax.ShapeDtypeStruct((B, C, nsample, S + pads), jnp.float32),
             jax.ShapeDtypeStruct((B, nsample, S + pads), jnp.int32),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, C, N + padn), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((1, C, npd), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, tile_s), lambda b, s: (b, 0, s),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=(
             pl.BlockSpec((1, C, nsample, tile_s), lambda b, s: (b, 0, 0, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nsample, tile_s), lambda b, s: (b, 0, s),
                          memory_space=pltpu.VMEM),
         ),
-    )(xt.astype(jnp.float32), qt.astype(jnp.float32))
+    )(xt.astype(jnp.float32), qt.astype(jnp.float32), *extra_ops)
     return out[..., :S], idx[..., :S]
 
 

@@ -105,12 +105,13 @@ class TestFusedGroupGather:
         ref_f = index_points(feat, ref_idx)
         grouped, idx = ball_group_pallas(0.5, K, xyz, q, feat)
         np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(idx))
+        # values go through the exact-to-~1e-5 bf16 hi/lo gather
         np.testing.assert_allclose(np.asarray(ref_rel),
                                    np.asarray(grouped[..., :3]),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=3e-5)
         np.testing.assert_allclose(np.asarray(ref_f),
                                    np.asarray(grouped[..., 3:]),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=3e-5)
 
     def test_gradients_match_take_path(self, rng):
         import jax
