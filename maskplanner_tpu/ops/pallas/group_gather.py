@@ -84,8 +84,12 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0):
         xt_hi = xt.astype(jnp.bfloat16)
         xt_lo = (xt - xt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
+    # Phase 1 — selection only (the masked-min chain is serial across k;
+    # keeping it free of MXU work lets the gather phase's independent
+    # matmuls pipeline instead of stalling behind each min-reduce)
     prev = jnp.full((TS, 1), -1.0, jnp.float32)
     first = None
+    selections = []
     for k in range(K):
         cand = jnp.where(masked_idx > prev, masked_idx, _BIG)
         cur = jnp.min(cand, axis=1)     # (TS,) f32 index or BIG
@@ -97,7 +101,12 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0):
             cur_eff = jnp.where(cur >= _BIG,
                                 jnp.where(first >= _BIG, 0.0, first), cur)
         prev = cur[:, None]
+        selections.append(cur_eff)
+        idx_ref[0, k, :] = cur_eff.astype(jnp.int32)
 
+    # Phase 2 — value extraction (independent per k)
+    for k in range(K):
+        cur_eff = selections[k]
         if block_w:
             hi = jnp.floor(cur_eff * (1.0 / block_w))
             lo = cur_eff - hi * block_w
@@ -112,7 +121,6 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0):
             onehot = (iota_n == cur_eff[None, :]).astype(jnp.bfloat16)
             g = _mm(xt_hi, onehot) + _mm(xt_lo, onehot)           # (C, TS)
         out_ref[0, :, k, :] = g
-        idx_ref[0, k, :] = cur_eff.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "nsample", "tile_s"))
