@@ -344,3 +344,17 @@ class DiskPaintDataset:
         np.savez(cache, point_cloud=pc, traj=traj, stroke_ids=stroke_ids)
         return (pc.astype(np.float32), traj.astype(np.float32),
                 stroke_ids.astype(np.int64))
+
+
+def get_mean_mesh(meshpath):
+    """Vertex centroid of a mesh file (reference utils/pointcloud.py:24-28)."""
+    v, _ = load_obj(meshpath)
+    return v.mean(axis=0)
+
+
+def get_max_distance(meshpath):
+    """Max vertex distance from the mesh centroid — the per-mesh
+    normalization scale (reference utils/pointcloud.py:15-21)."""
+    v, _ = load_obj(meshpath)
+    v = v - v.mean(axis=0)
+    return float(np.sqrt((v ** 2).sum(axis=1)).max())

@@ -347,3 +347,33 @@ def mean_knn_distance(points, k=1):
     np.fill_diagonal(d2, np.inf)
     kth = np.sort(d2, axis=1)[:, k - 1]
     return float(np.sqrt(kth).mean())
+
+
+def center_traj(traj, centroid):
+    """Shift only the trajectory by a mesh centroid
+    (reference utils/pointcloud.py:40-45)."""
+    traj[:, :3] -= centroid
+    return traj
+
+
+def get_center_of_3dbbox(box):
+    """Center of a (min, max) bbox encoding
+    (reference utils/pointcloud.py:559-561; our encoding is
+    [xmin,ymin,zmin, xmax,ymax,zmax])."""
+    box = np.asarray(box, dtype=np.float64)
+    return 0.5 * (box[:3] + box[3:])
+
+
+def get_sizes_of_3dbbox(box):
+    """Per-axis extents of a (min, max) bbox encoding
+    (reference utils/pointcloud.py:564-566)."""
+    box = np.asarray(box, dtype=np.float64)
+    return box[3:] - box[:3]
+
+
+def from_bbox_encoding_to_visual_format(encoded_bbox):
+    """(center, sizes) bbox encoding -> (min, max) encoding
+    (reference utils/pointcloud.py:569-583)."""
+    e = np.asarray(encoded_bbox, dtype=np.float64)
+    center, sizes = e[:3], e[3:]
+    return np.concatenate([center - sizes / 2, center + sizes / 2])

@@ -44,3 +44,28 @@ def truncate_autoregressive_eop(strokes, eop_logits, threshold=0.5):
         end = int(np.argmax(hit)) + 1 if hit.any() else len(s)
         out.append(np.asarray(s)[:end])
     return out
+
+
+def select_top_bboxes(batch_bboxes, threshold=0.05):
+    """Greedy distance-based dedup of stroke-proposal 3D bboxes.
+
+    For each surviving box (ascending index) drop every later box whose
+    bbox-vector euclidean distance is below ``threshold`` (reference
+    select_top_bboxes, utils/postprocessing.py:29-74; its unused NMS
+    branch is not reproduced). Returns a list of per-sample retained-box
+    arrays.
+    """
+    out = []
+    for bboxes in batch_bboxes:
+        bboxes = np.asarray(bboxes)
+        n = bboxes.shape[0]
+        d = np.linalg.norm(bboxes[:, None, :] - bboxes[None, :, :], axis=-1)
+        dropped = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if dropped[i]:
+                continue
+            close = d[i] < threshold
+            close[i] = False
+            dropped |= close
+        out.append(bboxes[~dropped])
+    return out

@@ -120,3 +120,124 @@ def visualize_batch_grid(point_clouds, trajs, ids_list, save_path,
     fig.savefig(save_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return save_path
+
+
+def visualize_mesh_traj_animated(point_cloud, traj, stroke_ids=None,
+                                 save_path=None, n_frames=40, elev=25,
+                                 azim=45, interval_ms=80):
+    """Progressive trajectory-reveal animation over the object
+    (reference visualize_mesh_traj_animated, utils/visualize.py:912-1027;
+    pyvista movie -> matplotlib animation here). Saves a GIF via the
+    Pillow writer (no ffmpeg dependency); returns the Animation object.
+    """
+    from matplotlib import animation
+
+    traj = np.asarray(traj)
+    valid = ~np.all(traj[:, :3] == -100.0, axis=-1)
+    traj = traj[valid]
+    sids = (np.zeros(len(traj)) if stroke_ids is None
+            else np.asarray(stroke_ids).reshape(-1)[valid])
+
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(111, projection="3d")
+    pc = np.asarray(point_cloud)
+
+    def draw(frame):
+        ax.clear()
+        ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], s=0.3, c="lightgray",
+                   alpha=0.5)
+        upto = max(1, int(len(traj) * (frame + 1) / n_frames))
+        visualize_traj(ax, traj[:upto], sids[:upto])
+        if len(traj):
+            _axis_equal(ax, traj[:, :3])
+        ax.view_init(elev=elev, azim=azim)
+        ax.set_axis_off()
+        return []
+
+    anim = animation.FuncAnimation(fig, draw, frames=n_frames,
+                                   interval=interval_ms, blit=False)
+    if save_path:
+        anim.save(save_path, writer=animation.PillowWriter(
+            fps=max(1, 1000 // interval_ms)))
+        plt.close(fig)
+    return anim
+
+
+def randomize_labels_except_special(labels, rng=None):
+    """Random permutation of non-negative label values (keeps padding ids
+    intact) — disambiguates adjacent stroke colors across subplot columns
+    (reference utils/visualize.py randomize_labels_except_special)."""
+    labels = np.asarray(labels)
+    rng = rng or np.random.default_rng()
+    uniq = np.unique(labels[labels >= 0])
+    perm = rng.permutation(len(uniq))
+    lut = dict(zip(uniq.tolist(), uniq[perm].tolist()))
+    return np.array([lut.get(int(l), int(l)) for l in labels])
+
+
+def _project_2d(x):
+    """2-D embedding of latent vectors: t-SNE when sklearn is available,
+    PCA (SVD) otherwise."""
+    try:
+        from sklearn.manifold import TSNE
+
+        return TSNE(n_components=2, learning_rate="auto", init="random",
+                    perplexity=min(3, max(1, x.shape[0] - 1))
+                    ).fit_transform(x)
+    except Exception:
+        x = x - x.mean(axis=0)
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        return x @ vt[:2].T
+
+
+def visualize_latent_segments(latent_segments, stroke_ids, n_permutations=3,
+                              save_path=None, figax=None, row=None, rng=None):
+    """Scatter the learned per-segment latents (contrastive clustering
+    task) in 2-D, colored by stroke id with color permutations
+    (reference utils/visualize.py:1028-1105). latent_segments: (1, N, D);
+    stroke_ids: (1, N)."""
+    x = np.asarray(latent_segments)[0]
+    sids = np.asarray(stroke_ids)[0]
+    x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+    if x.shape[1] > 2:
+        x = _project_2d(x)
+
+    if figax is None:
+        fig, ax = plt.subplots(1, n_permutations,
+                               figsize=(4 * n_permutations, 4))
+        axes = np.atleast_1d(ax)
+    else:
+        fig, ax = figax
+        axes = ax[row]
+    rng = rng or np.random.default_rng(0)
+    for k in range(n_permutations):
+        colors = randomize_labels_except_special(sids, rng)
+        axes[k].scatter(x[:, 0], x[:, 1], s=40, c=colors, alpha=0.6,
+                        cmap="Set1", marker="o")
+        axes[k].set_title(f"Norm latent segments [color perm {k}]",
+                          fontsize=8)
+    fig.suptitle(f"# strokes = {len(np.unique(sids[sids >= 0]))}")
+    if figax is None and save_path:
+        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def visualize_latent_segments_batch(latent_segments, stroke_ids,
+                                    save_path=None, batch_size=None,
+                                    n_permutations=3):
+    """Grid of per-sample latent-segment plots
+    (reference utils/visualize.py:1028-1053)."""
+    lat = np.asarray(latent_segments)
+    B = batch_size or lat.shape[0]
+    fig, ax = plt.subplots(B, n_permutations,
+                           figsize=(4 * n_permutations, 4 * B),
+                           squeeze=False)
+    for b in range(B):
+        visualize_latent_segments(lat[b:b + 1], stroke_ids[b:b + 1],
+                                  n_permutations=n_permutations,
+                                  figax=(fig, ax), row=b)
+    if save_path:
+        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+    return fig

@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--align_stroke_ids", action="store_true",
                    help="align pred stroke ids to GT colors via mask matching")
     p.add_argument("--batch_grid", action="store_true")
+    p.add_argument("--animated", action="store_true",
+                   help="also save a progressive trajectory-reveal GIF "
+                        "per sample (reference render_results.py mp4 "
+                        "mode, :255-275)")
     p.add_argument("--max_samples", type=int, default=4)
     return p.parse_args()
 
@@ -88,6 +92,13 @@ def main():
                 trajs[b], ids[b],
                 os.path.join(out_dir, f"{batch_tag}_sample{b}.png"),
                 title=str(dump["dirnames"][b]))
+            if args.animated:
+                from maskplanner_tpu.viz.render import (
+                    visualize_mesh_traj_animated)
+
+                visualize_mesh_traj_animated(
+                    pc, trajs[b], ids[b],
+                    os.path.join(out_dir, f"{batch_tag}_sample{b}.gif"))
         if args.batch_grid:
             visualize_batch_grid(
                 [pcs[b] if pcs is not None else np.zeros((1, 3))

@@ -166,3 +166,36 @@ class TestExtras:
         np.testing.assert_array_equal(hist[0], np.zeros((2, 8)))  # first has empty history
         np.testing.assert_array_equal(tgt[0], strokes[0][0])
         np.testing.assert_array_equal(hist[2][1], strokes[0][1])
+
+
+class TestBBoxHelpers:
+    def test_bbox_encoding_roundtrip(self, rng):
+        from maskplanner_tpu.data.pointcloud import (
+            get_3dbbox, get_center_of_3dbbox, get_sizes_of_3dbbox,
+            from_bbox_encoding_to_visual_format, center_traj)
+
+        stroke = rng.normal(size=(20, 6)).astype(np.float32)
+        box = get_3dbbox(stroke)
+        center = get_center_of_3dbbox(box)
+        sizes = get_sizes_of_3dbbox(box)
+        back = from_bbox_encoding_to_visual_format(
+            np.concatenate([center, sizes]))
+        np.testing.assert_allclose(back, box, rtol=1e-6, atol=1e-7)
+
+        t = stroke.copy()
+        c = np.array([1.0, -2.0, 3.0], np.float32)
+        out = center_traj(t, c)
+        np.testing.assert_allclose(out[:, :3], stroke[:, :3] - c, rtol=1e-6)
+        np.testing.assert_allclose(out[:, 3:], stroke[:, 3:])
+
+    def test_mesh_centroid_and_scale(self, tmp_path):
+        from maskplanner_tpu.data.io import get_mean_mesh, get_max_distance
+
+        p = tmp_path / "m.obj"
+        p.write_text("v 0 0 0\nv 2 0 0\nv 0 2 0\nv 0 0 2\n"
+                     "f 1 2 3\nf 1 2 4\nf 1 3 4\nf 2 3 4\n")
+        c = get_mean_mesh(str(p))
+        np.testing.assert_allclose(c, [0.5, 0.5, 0.5])
+        d = get_max_distance(str(p))
+        expected = np.sqrt(1.5**2 + 0.5**2 + 0.5**2)
+        np.testing.assert_allclose(d, expected, rtol=1e-6)

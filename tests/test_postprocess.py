@@ -197,3 +197,74 @@ class TestAlignment:
             gt_ids, cfg())
         np.testing.assert_array_equal(out[0][:12], 3)
         np.testing.assert_array_equal(out[0][12:], 7)
+
+
+class TestStrokewisePostprocess:
+    def test_confidence_truncation(self):
+        """Strokes below confidence drop; each kept stroke truncates at its
+        first low-confidence point (reference postprocessing.py:705-756)."""
+        from maskplanner_tpu.postprocess.strokewise import (
+            postprocess_strokewise_predictions_into_strokes,
+            from_strokewise_to_pointwise)
+
+        cfg = {"extra_data": ["orientnorm"]}   # outdim 6
+        B, NS, P, D = 1, 3, 4, 6
+        strokes = np.arange(B * NS * P * D, dtype=np.float32).reshape(
+            B, NS, P * D)
+        big, small = 5.0, -5.0  # sigmoid ~1 / ~0
+        point_scores = np.full((B, NS, P), big, np.float32)
+        point_scores[0, 0, 2:] = small        # stroke 0: length 2
+        stroke_scores = np.array([[big, small, big]], np.float32)
+
+        out = postprocess_strokewise_predictions_into_strokes(
+            strokes, point_scores, stroke_scores, cfg)
+        assert len(out) == 1 and out[0].shape == (2, P * D)
+        s0 = out[0][0].reshape(P, D)
+        assert not np.any(s0[:2] == -100) and np.all(s0[2:] == -100)
+        s1 = out[0][1].reshape(P, D)          # all-confident: full length
+        assert not np.any(s1 == -100)
+
+        pts, ids = from_strokewise_to_pointwise(out[0], cfg)
+        assert pts.shape == (2 + P, D)
+        np.testing.assert_array_equal(ids, [0, 0, 1, 1, 1, 1])
+
+    def test_remove_padding_from_tensors(self):
+        from maskplanner_tpu.postprocess.strokewise import (
+            remove_padding_from_tensors)
+
+        t = np.array([[1.0, 2.0], [-100.0, -100.0], [3.0, -100.0]])
+        out = remove_padding_from_tensors(t)
+        np.testing.assert_array_equal(out, [[1.0, 2.0], [3.0, -100.0]])
+
+    def test_select_top_bboxes(self):
+        from maskplanner_tpu.postprocess.sop import select_top_bboxes
+
+        boxes = np.array([[0.0, 0.0], [0.01, 0.0], [1.0, 1.0],
+                          [1.005, 1.0]], np.float32)
+        (kept,) = select_top_bboxes([boxes], threshold=0.05)
+        np.testing.assert_array_equal(kept, boxes[[0, 2]])
+
+
+class TestVizExtensions:
+    def test_animated_gif(self, tmp_path, rng):
+        from maskplanner_tpu.viz.render import visualize_mesh_traj_animated
+
+        pc = rng.normal(size=(50, 3)).astype(np.float32)
+        traj = rng.normal(size=(30, 6)).astype(np.float32)
+        ids = np.repeat([0, 1, 2], 10)
+        out = tmp_path / "anim.gif"
+        visualize_mesh_traj_animated(pc, traj, ids, str(out), n_frames=4)
+        assert out.exists() and out.stat().st_size > 0
+
+    def test_latent_segments_plot(self, tmp_path, rng):
+        from maskplanner_tpu.viz.render import (
+            visualize_latent_segments, visualize_latent_segments_batch)
+
+        lat = rng.normal(size=(2, 24, 16)).astype(np.float32)
+        sids = np.repeat(np.arange(4), 6)[None].repeat(2, axis=0)
+        f1 = tmp_path / "lat.png"
+        visualize_latent_segments(lat[:1], sids[:1], save_path=str(f1))
+        assert f1.exists()
+        f2 = tmp_path / "lat_batch.png"
+        visualize_latent_segments_batch(lat, sids, save_path=str(f2))
+        assert f2.exists()
