@@ -32,10 +32,10 @@ METRIC_OUTPUTS = {
         "avg_ratio_pred_over_gt_sops_if_lower_threshold",
     ),
     "sop_metrics_v2": (
-        "perc_correct_n_strokes", "avg_num_of_pred_sops",
-        "avg_num_of_gt_sops", "mean_absolute_error_NoP",
-        "avg_num_of_pred_sops_if_higher_threshold",
-        "avg_num_of_pred_sops_if_lower_threshold",
+        "perc_correct_n_strokes", "avg_num_of_pred_strokes",
+        "avg_num_of_gt_strokes", "mean_absolute_error_NoP",
+        "avg_num_of_pred_strokes_if_higher_threshold",
+        "avg_num_of_pred_strokes_if_lower_threshold",
         "mean_absolute_error_NoP_if_higher_threshold",
         "mean_absolute_error_NoP_if_lower_threshold",
     ),

@@ -198,3 +198,56 @@ class TestHandlerEndToEnd:
         assert np.isfinite(float(val))
         assert np.isfinite(np.asarray(grad)).all()
         assert float(jnp.abs(grad).sum()) > 0
+
+
+class TestMetricsHandlerDirect:
+    """Direct MetricsHandler coverage for the SoP/strokewise/clustering
+    metric families (reference metrics_handler.py:334-442)."""
+
+    def _handler(self, metrics):
+        from maskplanner_tpu.metrics import MetricsHandler
+
+        cfg = {"extra_data": ["orientnorm"], "lambda_points": 4}
+        return MetricsHandler(cfg, metrics=metrics)
+
+    def test_sop_metrics_and_v2(self):
+        from maskplanner_tpu.postprocess.sop import (
+            postprocess_sop_predictions)
+
+        B, P, D = 2, 5, 6
+        rng = np.random.default_rng(0)
+        sop_pred = rng.normal(size=(B, P, D)).astype(np.float32)
+        conf = np.array([[5, 5, -5, -5, -5], [5, 5, 5, -5, -5]], np.float32)
+        sop_gt = np.full((B, 4, D), -100.0, np.float32)
+        sop_gt[0, :2] = 1.0  # 2 GT sops
+        sop_gt[1, :3] = 1.0  # 3 GT sops
+        processed = postprocess_sop_predictions(sop_pred, conf, 0.5)
+
+        h = self._handler(["sop_metrics", "sop_metrics_v2"])
+        out = h.compute(sop_pred=sop_pred, processed_sop_pred=processed,
+                        sop_gt=sop_gt, pred_sop_conf_scores=conf,
+                        sop_conf_threshold=0.5)
+        assert out["avg_num_of_pred_sops"] == 2.5
+        assert out["avg_num_of_gt_sops"] == 2.5
+        assert out["perc_correct_n_strokes"] == 1.0
+        assert out["mean_absolute_error_NoP"] == 0.0
+        # names follow the reference exactly (strokes, not sops, in v2)
+        for k in ("avg_num_of_pred_strokes_if_higher_threshold",
+                  "mean_absolute_error_NoP_if_lower_threshold"):
+            assert k in out
+
+    def test_strokewise_num_of_strokes(self):
+        h = self._handler(["strokewise_num_of_strokes_metrics"])
+        traj_pred = [np.zeros((3, 24)), np.zeros((5, 24))]
+        out = h.compute(n_strokes=np.array([3, 4]), traj_pred=traj_pred)
+        assert out["perc_correct_n_strokes"] == 0.5
+        assert out["avg_num_of_pred_strokes"] == 4.0
+        assert out["mean_absolute_error_NoP"] == 0.5
+
+    def test_clustering_metrics(self):
+        h = self._handler(["clustering_metrics"])
+        ids = np.array([[0, 0, 1, 1, 2, 2]])
+        out = h.compute(stroke_ids=ids, stroke_ids_pred=ids + 3)
+        assert out["v_measure"] == 1.0
+        assert out["adjusted_rand_score"] == 1.0
+        assert out["avg_num_of_outliers"] == 0.0
