@@ -98,6 +98,11 @@ class SetAbstraction(nn.Module):
     def __call__(self, xyz, features, train: bool, fps_key=None,
                  full_points=None):
         B, N, _ = xyz.shape
+        if fps_key is None and train and self.has_rng("fps"):
+            # random FPS start per forward — the reference's sampling
+            # stochasticity (models/pointnet2_utils.py:77); supplied by
+            # the trainer via rngs={"fps": ...}, eval stays deterministic
+            fps_key = self.make_rng("fps")
         # Whole-level fused kernel pays off when the gathered rows are wide
         # relative to the source set (sa2: Cin=131, N=512 -> 3.1 vs 4.9 ms).
         # For the xyz-only first level the unfused path with the blocked

@@ -31,8 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e10
 
 
-def _kernel(xyz_ref, out_ref, *, npoint: int, n_real: int):
-    # xyz_ref: (BB, C, N); out_ref: (BB, npoint) f32 indices
+def _kernel(xyz_ref, start_ref, out_ref, *, npoint: int, n_real: int):
+    # xyz_ref: (BB, C, N); start_ref: (BB, 1) f32 start indices;
+    # out_ref: (BB, npoint) f32 indices
     BB = xyz_ref.shape[0]
     N = xyz_ref.shape[2]
     x0 = xyz_ref[:, 0, :]  # (BB, N)
@@ -73,15 +74,20 @@ def _kernel(xyz_ref, out_ref, *, npoint: int, n_real: int):
 
     _, _, acc = jax.lax.fori_loop(
         0, npoint, body,
-        (jnp.zeros((BB,), jnp.float32),
+        (start_ref[:, 0],
          dist0,
          jnp.zeros((BB, npoint), jnp.float32)))
     out_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "batch_tile"))
-def fps_pallas(xyz: jax.Array, npoint: int, batch_tile: int = 8) -> jax.Array:
-    """(B, N, 3) -> (B, npoint) int32 FPS indices (start index 0)."""
+def fps_pallas(xyz: jax.Array, npoint: int, batch_tile: int = 8,
+               start: jax.Array | None = None) -> jax.Array:
+    """(B, N, 3) -> (B, npoint) int32 FPS indices.
+
+    start: optional (B,) int start indices (the reference starts from
+    randint(0, N), pointnet2_utils.py:77); defaults to 0.
+    """
     B, N, _ = xyz.shape
     # keep the batch tile at >= 8 sublanes even for tiny batches — Mosaic
     # can't lower some single-sublane broadcasts (observed at bt=1); the
@@ -92,14 +98,21 @@ def fps_pallas(xyz: jax.Array, npoint: int, batch_tile: int = 8) -> jax.Array:
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
     if pad_b or pad_n:
         xyz_t = jnp.pad(xyz_t, ((0, pad_b), (0, 0), (0, pad_n)))
+    if start is None:
+        start_f = jnp.zeros((B + pad_b, 1), jnp.float32)
+    else:
+        start_f = jnp.pad(start.astype(jnp.float32), (0, pad_b)
+                          ).reshape(B + pad_b, 1)
 
     out = pl.pallas_call(
         functools.partial(_kernel, npoint=npoint, n_real=N),
         out_shape=jax.ShapeDtypeStruct((B + pad_b, npoint), jnp.float32),
         grid=(pl.cdiv(B + pad_b, bt),),
         in_specs=[pl.BlockSpec((bt, 3, N + pad_n), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((bt, 1), lambda b: (b, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((bt, npoint), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-    )(xyz_t)
+    )(xyz_t, start_f)
     return out[:B].astype(jnp.int32)

@@ -74,10 +74,14 @@ def farthest_point_sample(
     (B, npoint) int32 indices.
     """
     B, N, _ = xyz.shape
-    if key is None and mask is None and start_idx == 0 and _use_pallas():
+    if mask is None and _use_pallas():
         from .pallas.fps import fps_pallas
 
-        return fps_pallas(xyz, npoint)
+        if key is None and start_idx == 0:
+            return fps_pallas(xyz, npoint)
+        start = (jax.random.randint(key, (B,), 0, N) if key is not None
+                 else jnp.full((B,), start_idx, jnp.int32))
+        return fps_pallas(xyz, npoint, start=start)
     if key is not None:
         farthest0 = jax.random.randint(key, (B,), 0, N)
     else:

@@ -64,7 +64,8 @@ def make_train_step(model, handler: LossHandler, config):
     """Returns jitted ``train_step(state, batch, weights, rng)``."""
 
     def train_step(state: TrainState, batch, weights, rng):
-        dropout_rng, loss_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        dropout_rng, fps_rng, loss_rng = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -72,7 +73,7 @@ def make_train_step(model, handler: LossHandler, config):
                 variables,
                 batch["point_cloud"],
                 train=True,
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": dropout_rng, "fps": fps_rng},
                 mutable=["batch_stats"],
             )
             lb = build_loss_batch(out, batch, config)
@@ -105,7 +106,7 @@ def make_gan_train_step(model, handler: LossHandler, config, adv):
 
     def train_step(state: TrainState, d_state, batch, weights, rng):
         step_rng = jax.random.fold_in(rng, state.step)
-        dropout_rng, d_rng, loss_rng = jax.random.split(step_rng, 3)
+        dropout_rng, fps_rng, d_rng, loss_rng = jax.random.split(step_rng, 4)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -113,7 +114,7 @@ def make_gan_train_step(model, handler: LossHandler, config, adv):
                 variables,
                 batch["point_cloud"],
                 train=True,
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": dropout_rng, "fps": fps_rng},
                 mutable=["batch_stats"],
             )
             lb = build_loss_batch(out, batch, config)

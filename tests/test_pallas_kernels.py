@@ -241,3 +241,38 @@ class TestFusedSetAbstraction:
                                    rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(np.asarray(ref_f), np.asarray(got_f),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestFPSRandomStart:
+    def test_start_parity_with_xla(self, rng):
+        import jax
+        from maskplanner_tpu.ops.pallas.fps import fps_pallas
+        from maskplanner_tpu.ops.sampling import farthest_point_sample
+
+        xyz = jnp.asarray(rng.normal(size=(3, 200, 3)).astype(np.float32))
+        start = jnp.asarray([5, 17, 100], dtype=jnp.int32)
+        got = np.asarray(fps_pallas(xyz, 32, start=start))
+        for b in range(3):
+            ref = np.asarray(farthest_point_sample(
+                xyz[b:b + 1], 32, start_idx=int(start[b])))
+            np.testing.assert_array_equal(ref[0], got[b])
+
+    def test_train_step_uses_fps_rng(self, rng):
+        """Different base rngs give different FPS starts in train mode
+        (reference random-start sampling, pointnet2_utils.py:77)."""
+        import jax
+        from maskplanner_tpu.models import pointnet2 as p2
+
+        xyz = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        sa = p2.SetAbstraction(16, 0.4, 8, (8, 16))
+        v = sa.init({"params": jax.random.PRNGKey(0),
+                     "fps": jax.random.PRNGKey(0)}, xyz, None, True)
+        x1, _ = sa.apply(v, xyz, None, True, mutable=["batch_stats"],
+                         rngs={"fps": jax.random.PRNGKey(1)})[0]
+        x2, _ = sa.apply(v, xyz, None, True, mutable=["batch_stats"],
+                         rngs={"fps": jax.random.PRNGKey(2)})[0]
+        assert not np.allclose(np.asarray(x1), np.asarray(x2))
+        # eval (train=False) stays deterministic with no fps rng
+        e1 = sa.apply(v, xyz, None, False)
+        e2 = sa.apply(v, xyz, None, False)
+        np.testing.assert_array_equal(np.asarray(e1[0]), np.asarray(e2[0]))
