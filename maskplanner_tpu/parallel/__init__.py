@@ -9,6 +9,10 @@ sharded axis lowers to a psum), giving cross-replica BN without SyncBN
 machinery. Multi-slice DP over DCN falls out of the same annotations when
 the mesh spans slices.
 """
-from .mesh import make_mesh, shard_batch, replicate, data_sharding
+from .mesh import (make_mesh, shard_batch, replicate, data_sharding,
+                   make_multislice_mesh, shard_batch_multislice,
+                   multislice_data_sharding)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding",
+           "make_multislice_mesh", "shard_batch_multislice",
+           "multislice_data_sharding"]

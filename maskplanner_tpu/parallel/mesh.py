@@ -94,3 +94,51 @@ def host_shard_bounds(n: int, process_index: int | None = None,
     pc = jax.process_count() if process_count is None else process_count
     per = n // pc
     return pi * per, (pi + 1) * per
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice data parallelism (DCN x ICI).
+#
+# A v5e pod slice scales over ICI; beyond one slice, slices connect over
+# DCN. Pure data parallelism shards the batch over BOTH axes — XLA routes
+# the gradient all-reduce hierarchically (reduce-scatter over ICI, then
+# cross-slice all-reduce over DCN) from the sharding alone. No model-size
+# pressure exists at this scale (<=40M params), so DP-only is the right
+# multi-slice layout (SURVEY.md §2.10, §7).
+# ---------------------------------------------------------------------------
+
+def make_multislice_mesh(n_slices: int, per_slice: int | None = None,
+                         axis_names: tuple[str, str] = ("dcn", "ici")) -> Mesh:
+    """2-D (n_slices, per_slice) device mesh with the slow axis first.
+
+    On real multi-slice TPU deployments uses
+    ``mesh_utils.create_hybrid_device_mesh`` so the outer axis maps to DCN
+    granules; elsewhere (single slice, CPU test meshes) falls back to a
+    row-major reshape of the device list.
+    """
+    devices = jax.devices()
+    per = per_slice or len(devices) // n_slices
+    n = n_slices * per
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    try:
+        from jax.experimental import mesh_utils
+
+        dm = mesh_utils.create_hybrid_device_mesh(
+            (1, per), (n_slices, 1), devices=devices[:n])
+    except Exception:
+        dm = np.array(devices[:n]).reshape(n_slices, per)
+    return Mesh(dm, axis_names)
+
+
+def multislice_data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch sharded across both mesh axes (pure DP over DCN x ICI)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+
+def shard_batch_multislice(batch: dict, mesh: Mesh) -> dict:
+    """Like ``shard_batch`` but splitting the batch over both axes."""
+    sharding = multislice_data_sharding(mesh)
+    scalar = NamedSharding(mesh, P())
+    return {k: jax.device_put(np.asarray(v),
+                              sharding if np.asarray(v).ndim >= 1 else scalar)
+            for k, v in batch.items()}

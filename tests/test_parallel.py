@@ -98,3 +98,48 @@ print('MATCH OK')
 """
         out = clean_subprocess(code, n_devices=4)
         assert "MATCH OK" in out
+
+    def test_multislice_dp_matches_single_device(self, clean_subprocess):
+        """2x4 (DCN x ICI) mesh: one full train step equals the 1-device
+        result — XLA inserts the hierarchical gradient all-reduce from the
+        sharding alone."""
+        code = """
+import numpy as np, jax, jax.numpy as jnp
+from maskplanner_tpu.utils.args import load_args
+from maskplanner_tpu.data.dataset import PaintDataset, DataLoader
+from maskplanner_tpu.losses import LossHandler
+from maskplanner_tpu.models import get_model
+from maskplanner_tpu.parallel import (make_multislice_mesh,
+                                      shard_batch_multislice, replicate)
+from maskplanner_tpu.train import create_train_state, make_train_step
+
+cfg = load_args(argv=['config=[maskplanner,cuboids_v2,longx_v2,debug]',
+                      'pc_points=64', 'n_pred_traj_points=80',
+                      'batch_size=8'])
+ds = PaintDataset(cfg, split='train', size=8)
+batch = next(iter(DataLoader(ds, 8)))
+model = get_model(cfg)
+rng = jax.random.PRNGKey(0)
+state = create_train_state(model, cfg, rng, batch['point_cloud'][:1])
+handler = LossHandler(cfg['loss'], cfg)
+w = handler.init_weights()
+step = make_train_step(model, handler, cfg)
+
+single = jax.tree.map(jnp.asarray, batch)
+# train_step donates its state arg and replicate() may alias the input
+# buffers, so run the single-device step first on the original state
+s_state, s_loss, _ = step(state, single, w, rng)
+
+mesh = make_multislice_mesh(2, 4)
+assert mesh.devices.shape == (2, 4) and mesh.axis_names == ('dcn', 'ici')
+sharded = shard_batch_multislice(batch, mesh)
+fresh = create_train_state(model, cfg, rng, batch['point_cloud'][:1])
+ms_state, ms_loss, _ = step(replicate(fresh, mesh), sharded, w, rng)
+np.testing.assert_allclose(float(ms_loss), float(s_loss), rtol=2e-4)
+p0 = np.asarray(jax.tree.leaves(ms_state.params)[0])
+p1 = np.asarray(jax.tree.leaves(s_state.params)[0])
+np.testing.assert_allclose(p0, p1, rtol=1e-3, atol=1e-5)
+print('OK multislice')
+"""
+        out = clean_subprocess(code, n_devices=8)
+        assert "OK multislice" in out
