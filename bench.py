@@ -77,6 +77,25 @@ def main():
         lambda a: model.apply(variables, a, train=False).traj, pc, iters=10)
     pcs_per_sec = batch_size / infer_s
 
+    # ---- bf16 training step (config=[...,bf16]: bfloat16 compute,
+    # f32 params/BN/loss; convergence-parity-validated by
+    # scripts/tpu_convergence_study.py --bf16) --------------------------
+    config16 = load_args(argv=[
+        "config=[maskplanner,windows_v2,longx_v2,bf16]", "dataset_size=64",
+    ])
+    model16 = get_model(config16)
+    state16 = create_train_state(model16, config16, rng,
+                                 batch["point_cloud"][:1], steps_per_epoch=1)
+    state16 = replicate(state16, mesh)
+    train_step16 = make_train_step(model16, handler, config16)
+    state16, loss16, _ = train_step16(state16, device_batch, weights, rng)
+    jax.block_until_ready(loss16)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state16, loss16, _ = train_step16(state16, device_batch, weights, rng)
+    jax.block_until_ready(loss16)
+    step16_ms = (time.perf_counter() - t0) / n_steps * 1000
+
     # single-sample device compute latency (the reference's wall-clock
     # FPS metric, test_maskplanner.py:253-257, measured without host
     # dispatch overhead — the tunneled backend makes dispatch timing
@@ -92,6 +111,7 @@ def main():
         "vs_baseline": 1.0,
         "config": "windows_v2 flagship (pc=5120, out_vectors=450, masks=22)",
         "train_step_ms_batch64": round(step_ms, 2),
+        "train_step_ms_batch64_bf16": round(step16_ms, 2),
         "single_sample_device_compute_ms": round(latency_ms, 2),
         "final_train_loss": round(float(loss), 4),
         "device": str(jax.devices()[0]),

@@ -32,6 +32,16 @@ class MaskPlannerOutput(NamedTuple):
     seg_conf: jax.Array | None         # (B, out_vectors) sigmoid confidences
 
 
+def _f32(x):
+    """Cast a head output back to float32 at the model boundary.
+
+    Under bf16 compute the interface stays f32: losses reduce in f32 and
+    the eval drivers dump ``.npy`` files (numpy has no bfloat16). No-op
+    when compute is already f32.
+    """
+    return None if x is None else x.astype(jnp.float32)
+
+
 class PointNet2StrokeMasks(nn.Module):
     """The flagship MaskPlanner model.
 
@@ -99,7 +109,8 @@ class PointNet2StrokeMasks(nn.Module):
                 mask_scores = nn.Dense(self.n_stroke_masks, dtype=self.dtype,
                                        name="mask_conf_out")(sm)
 
-        return MaskPlannerOutput(traj, stroke_masks, mask_scores, seg_conf)
+        return MaskPlannerOutput(_f32(traj), _f32(stroke_masks),
+                                 _f32(mask_scores), _f32(seg_conf))
 
 
 class PointNet2Regressor(nn.Module):
@@ -130,10 +141,10 @@ class PointNet2Regressor(nn.Module):
         if self.outdim_orient > 0:
             normals = nn.Dense(n_pose * self.outdim_orient, dtype=self.dtype,
                                name="fc_normals")(trunk)
-            return assemble_pose_output(
+            return _f32(assemble_pose_output(
                 positions, normals, self.out_vectors, self.weight_orient
-            )
-        return positions.reshape(positions.shape[0], self.out_vectors, -1)
+            ))
+        return _f32(positions.reshape(positions.shape[0], self.out_vectors, -1))
 
 
 class PointNet2SoPs(nn.Module):
@@ -172,10 +183,10 @@ class PointNet2SoPs(nn.Module):
         else:
             tokens = positions.reshape(positions.shape[0], self.out_vectors, -1)
         if not self.sop_confidence_scores:
-            return tokens, None
+            return _f32(tokens), None
         conf = nn.Dense(self.out_vectors, dtype=self.dtype,
                         name="sop_conf_out")(trunk)
-        return tokens, conf
+        return _f32(tokens), _f32(conf)
 
 
 class PointNet2StrokeWise(nn.Module):
@@ -219,4 +230,4 @@ class PointNet2StrokeWise(nn.Module):
         ).reshape(positions.shape[0], self.n_strokes, self.stroke_points)
         stroke_conf = nn.Dense(self.n_strokes, dtype=self.dtype,
                                name="stroke_conf_out")(trunk)
-        return strokes, point_conf, stroke_conf
+        return _f32(strokes), _f32(point_conf), _f32(stroke_conf)

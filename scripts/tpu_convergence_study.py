@@ -27,6 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="train with bf16 compute (params stay f32)")
     args = ap.parse_args()
 
     import train_maskplanner
@@ -45,7 +47,7 @@ def main():
         "dataset_size=64", "test_dataset_size=16", "batch_size=32",
         "eval_metrics=[pcd,stroke_masks_metrics]",
         "seed=7", "no_save=true", f"output_dir={out}",
-    ])
+    ] + (["model.bf16=true"] if args.bf16 else []))
     run_dir, _ = train_maskplanner.main(cfg)
 
     logs = [json.loads(l) for l in open(os.path.join(run_dir, "logs.jsonl"))]

@@ -67,6 +67,43 @@ class TestTrainDriver:
         p1 = jax.tree.leaves(restored.params)[0]
         assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
+    def test_bf16_config_trains_finite(self, tmp_path):
+        """config=[...,bf16] trains with bfloat16 compute (params stay
+        f32) and produces finite losses + f32 outputs. Convergence parity
+        with f32 is established on hardware by
+        scripts/tpu_convergence_study.py --bf16."""
+        import json
+
+        import jax
+        import jax.numpy as jnp
+        import train_maskplanner
+        from maskplanner_tpu.models import get_model
+        from maskplanner_tpu.utils.config import load_config
+        from maskplanner_tpu.train import checkpoints
+        from maskplanner_tpu.train.trainer import create_train_state
+
+        cfg = tiny_config(tmp_path)
+        cfg["model"]["bf16"] = True
+        run_dir, state = train_maskplanner.main(cfg)
+        logs = [json.loads(l) for l in
+                open(os.path.join(run_dir, "logs.jsonl"))]
+        losses = [l["train_loss"] for l in logs if "train_loss" in l]
+        assert len(losses) == 4 and all(np.isfinite(losses))
+        # params stayed f32 (mixed-precision contract: bf16 compute only)
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree.leaves(state.params))
+        # model outputs cast back to f32 at the boundary (.npy dumps,
+        # f32 loss reductions)
+        from maskplanner_tpu.models import get_model
+        model = get_model(cfg)
+        pc = np.zeros((1, 64, 3), np.float32)
+        out = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats}, pc, train=False)
+        assert out.traj.dtype == jnp.float32
+        assert out.stroke_masks.dtype == jnp.float32
+        # frozen run config round-trips the flag for test/render drivers
+        assert load_config(run_dir)["model"]["bf16"] is True
+
     @pytest.mark.slow
     def test_overfitting_mode_converges(self, tmp_path):
         """Learning-sanity harness: overfitting=true trains on a single
