@@ -52,15 +52,36 @@ def main():
 
     device_batch = shard_batch(batch, mesh)
 
-    # ---- training step ----------------------------------------------------
-    state, loss, _ = train_step(state, device_batch, weights, rng)  # compile
-    jax.block_until_ready(loss)
-    n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, loss, _ = train_step(state, device_batch, weights, rng)
-    jax.block_until_ready(loss)
-    step_ms = (time.perf_counter() - t0) / n_steps * 1000
+    # ---- training step (k chained steps inside one jit: through the
+    # axon tunnel, block_until_ready can return before execution, so
+    # dispatch-loop timing under-reads; only a value fetch of a program
+    # whose steps are data-chained is trustworthy) ----------------------
+    import jax.numpy as jnp
+
+    def time_train_steps(step_fn, st0, k=10):
+        def body(i, carry):
+            st, _ = carry
+            b = dict(device_batch)
+            b["point_cloud"] = device_batch["point_cloud"] * (
+                1.0 + i.astype(jnp.float32) * 1e-7)
+            st2, loss_i, _ = step_fn(st, b, weights,
+                                     jax.random.fold_in(rng, i))
+            return st2, loss_i
+
+        @jax.jit
+        def run(st):
+            return jax.lax.fori_loop(0, k, body, (st, jnp.float32(0.0)))
+
+        st, l = run(st0)
+        base = float(l)  # forces full execution
+        t0 = time.perf_counter()
+        st, l = run(st0)
+        final = float(l)
+        dt = (time.perf_counter() - t0) / k * 1000
+        return dt, final
+
+    step_ms, final_loss = time_train_steps(train_step, state)
+    loss = final_loss
 
     # ---- inference (loop-bench: N iterations inside one jitted fori_loop
     # with input perturbation — repeated same-input dispatch is unreliable
@@ -88,13 +109,7 @@ def main():
                                  batch["point_cloud"][:1], steps_per_epoch=1)
     state16 = replicate(state16, mesh)
     train_step16 = make_train_step(model16, handler, config16)
-    state16, loss16, _ = train_step16(state16, device_batch, weights, rng)
-    jax.block_until_ready(loss16)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state16, loss16, _ = train_step16(state16, device_batch, weights, rng)
-    jax.block_until_ready(loss16)
-    step16_ms = (time.perf_counter() - t0) / n_steps * 1000
+    step16_ms, _ = time_train_steps(train_step16, state16)
 
     # single-sample device compute latency (the reference's wall-clock
     # FPS metric, test_maskplanner.py:253-257, measured without host

@@ -131,27 +131,46 @@ def hungarian(
     *batch, n_rows, n_cols = cost.shape
     n = max(n_rows, n_cols)
 
-    def solve_one(c, cmask):
-        big = jnp.max(jnp.abs(jnp.where(jnp.isfinite(c), c, 0.0))) * 2.0 + 1.0
-        sq = jnp.full((n, n), big, dtype=jnp.float32)
-        sq = sq.at[:n_rows, :n_cols].set(
-            jnp.where(cmask[None, :], c, big) if cmask is not None else c
-        )
-        col4row = _solve_square(sq)
-        row4col = jnp.zeros((n,), jnp.int32).at[col4row].set(
-            jnp.arange(n, dtype=jnp.int32)
-        )
-        return row4col[:n_cols]
+    flat_cost = cost.reshape((-1, n_rows, n_cols)).astype(jnp.float32)
+    Bf = flat_cost.shape[0]
+    flat_mask = (col_mask.reshape((-1, n_cols))
+                 if col_mask is not None else None)
 
-    flat_cost = cost.reshape((-1, n_rows, n_cols))
-    if col_mask is not None:
-        flat_mask = col_mask.reshape((-1, n_cols))
-        row4col = jax.vmap(solve_one)(flat_cost, flat_mask)
-        matched = flat_mask
+    # batched square padding: fake rows/columns cost the same `big` in
+    # every position, so the real columns' optimal assignment is unchanged
+    big = (
+        jnp.max(jnp.abs(jnp.where(jnp.isfinite(flat_cost), flat_cost, 0.0)),
+                axis=(-1, -2), keepdims=True) * 2.0 + 1.0
+    )  # (Bf, 1, 1)
+    sq = jnp.broadcast_to(big, (Bf, n, n))
+    real = flat_cost
+    if flat_mask is not None:
+        real = jnp.where(flat_mask[:, None, :], real,
+                         jnp.broadcast_to(big, real.shape))
+    sq = sq.at[:, :n_rows, :n_cols].set(real)
+
+    from .sampling import _use_pallas
+
+    if _use_pallas() and n <= 128:
+        # single-kernel batched JV: the whole batch advances in lockstep
+        # inside one Pallas program (~17x over the vmapped XLA loop)
+        from .pallas.lap import lap_jv_pallas
+
+        # indices are integer/non-differentiable (the reference's scipy LAP
+        # likewise); stop_gradient keeps autodiff from linearizing the
+        # kernel, which has no VJP rule
+        col4row = lap_jv_pallas(jax.lax.stop_gradient(sq))  # (Bf, n)
     else:
-        row4col = jax.vmap(lambda c: solve_one(c, None))(flat_cost)
-        matched = jnp.ones((flat_cost.shape[0], n_cols), dtype=bool)
+        col4row = jax.vmap(_solve_square)(sq)
+    # invert the permutation: row4col[b, j] = row assigned to column j
+    row4col = (
+        jnp.zeros((Bf, n), jnp.int32)
+        .at[jnp.arange(Bf)[:, None], col4row]
+        .set(jnp.arange(n, dtype=jnp.int32)[None, :])
+    )[:, :n_cols]
 
+    matched = (flat_mask if flat_mask is not None
+               else jnp.ones((Bf, n_cols), dtype=bool))
     row4col = row4col.reshape(*batch, n_cols)
     matched = matched.reshape(*batch, n_cols)
     return row4col, matched

@@ -276,3 +276,59 @@ class TestFPSRandomStart:
         e1 = sa.apply(v, xyz, None, False)
         e2 = sa.apply(v, xyz, None, False)
         np.testing.assert_array_equal(np.asarray(e1[0]), np.asarray(e2[0]))
+
+
+class TestLapKernel:
+    """Exact JV LAP in one Pallas program (ops/pallas/lap.py)."""
+
+    @pytest.mark.parametrize("B,n", [(4, 5), (8, 22), (3, 1), (5, 2), (6, 41)])
+    def test_exact_vs_scipy(self, rng, B, n):
+        from scipy.optimize import linear_sum_assignment
+
+        from maskplanner_tpu.ops.pallas.lap import lap_jv_pallas
+
+        cost = rng.normal(size=(B, n, n)).astype(np.float32) ** 2 * 10
+        got = np.asarray(lap_jv_pallas(jnp.asarray(cost)))
+        for b in range(B):
+            r, c = linear_sum_assignment(cost[b])
+            # a permutation with scipy-optimal total cost (ties may
+            # resolve to a different equal-cost permutation)
+            assert sorted(got[b]) == list(range(n))
+            np.testing.assert_allclose(
+                cost[b][np.arange(n), got[b]].sum(),
+                cost[b][r, c].sum(), rtol=1e-5, atol=1e-4)
+
+    def test_ties_still_permutation(self, rng):
+        from maskplanner_tpu.ops.pallas.lap import lap_jv_pallas
+
+        cost = np.ones((3, 8, 8), np.float32)
+        got = np.asarray(lap_jv_pallas(jnp.asarray(cost)))
+        for b in range(3):
+            assert sorted(got[b]) == list(range(8))
+
+    def test_hungarian_pallas_path_matches_xla(self, rng, monkeypatch):
+        """The full hungarian() wrapper (rectangular + masked columns)
+        through the kernel == the vmapped XLA JV solve."""
+        import jax
+
+        import maskplanner_tpu.ops.sampling as sampling
+        from maskplanner_tpu.ops.hungarian import hungarian
+
+        monkeypatch.setattr(sampling, "_use_pallas", lambda: True)
+
+        B, n, m = 4, 10, 6
+        cost = rng.normal(size=(B, n, m)).astype(np.float32)
+        valid = np.zeros((B, m), bool)
+        for b, k in enumerate([6, 3, 1, 4]):
+            valid[b, :k] = True
+        row4col, matched = jax.device_get(
+            hungarian(jnp.asarray(cost), jnp.asarray(valid)))
+        from scipy.optimize import linear_sum_assignment
+
+        for b, k in enumerate([6, 3, 1, 4]):
+            r, c = linear_sum_assignment(cost[b, :, :k])
+            np.testing.assert_allclose(
+                cost[b][row4col[b, :k], np.arange(k)].sum(),
+                cost[b][r, c].sum(), rtol=1e-5, atol=1e-4)
+            assert len(set(row4col[b, :k].tolist())) == k
+            assert matched[b].tolist() == valid[b].tolist()
