@@ -81,7 +81,7 @@ def _kernel(xyz_ref, start_ref, out_ref, *, npoint: int, n_real: int):
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "batch_tile"))
-def fps_pallas(xyz: jax.Array, npoint: int, batch_tile: int = 8,
+def fps_pallas(xyz: jax.Array, npoint: int, batch_tile: int | None = None,
                start: jax.Array | None = None) -> jax.Array:
     """(B, N, 3) -> (B, npoint) int32 FPS indices.
 
@@ -91,8 +91,12 @@ def fps_pallas(xyz: jax.Array, npoint: int, batch_tile: int = 8,
     B, N, _ = xyz.shape
     # keep the batch tile at >= 8 sublanes even for tiny batches — Mosaic
     # can't lower some single-sublane broadcasts (observed at bt=1); the
-    # batch axis is padded up instead
-    bt = batch_tile
+    # batch axis is padded up instead. Wider tiles shorten the serial
+    # grid chain (grid programs run back-to-back on the one core, so at
+    # bt=8/B=64 the npoint-step dependency chain runs 8x over); bt=32
+    # measures 1.68 vs 2.41 ms at the flagship shape, with diminishing
+    # returns past 32 as the per-step vector work saturates the VPU.
+    bt = batch_tile if batch_tile else min(32, max(8, -(-B // 8) * 8))
     pad_b = (-B) % bt
     pad_n = (-N) % 128
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
