@@ -10,9 +10,13 @@ long-horizon robot trajectories:
 3. overlap removal, equal-space resampling, Akima upsample, Gaussian
    smoothing (``smoothing``)
 """
-from .stroke_ids import process_pred_stroke_masks_to_stroke_ids, handle_end_of_sequence
+from .stroke_ids import (process_pred_stroke_masks_to_stroke_ids,
+                         handle_end_of_sequence, from_stroke_ids_to_masks,
+                         compute_total_path_length)
 
 __all__ = [
     "process_pred_stroke_masks_to_stroke_ids",
+    "from_stroke_ids_to_masks",
+    "compute_total_path_length",
     "handle_end_of_sequence",
 ]

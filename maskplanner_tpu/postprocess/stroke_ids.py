@@ -46,3 +46,28 @@ def handle_end_of_sequence(sequence, confidence_logits, threshold):
     if np.all(high):
         return sequence
     return sequence[: int(np.argmin(high))]
+
+
+def from_stroke_ids_to_masks(stroke_ids, n_masks=None):
+    """Binary per-stroke masks from a stroke-id vector (reference
+    utils/postprocessing.py ``from_stroke_ids_to_masks``, used by the
+    render driver's align path). Negative ids (padding) belong to no
+    mask. Returns (n_masks, n_segments) float 0/1."""
+    ids = np.asarray(stroke_ids).reshape(-1)
+    valid = ids >= 0
+    n = int(n_masks) if n_masks is not None else (
+        int(ids[valid].max()) + 1 if valid.any() else 0)
+    masks = np.zeros((n, ids.shape[0]), dtype=np.float64)
+    for k in range(n):
+        masks[k] = (ids == k) & valid
+    return masks
+
+
+def compute_total_path_length(traj_points):
+    """Total spatial length of a point-format trajectory (reference
+    standalone/from_pred_to_offline_v2.py ``compute_total_path_length``):
+    sum of consecutive-point distances over the xyz columns."""
+    pts = np.asarray(traj_points)[:, :3]
+    if len(pts) < 2:
+        return 0.0
+    return float(np.linalg.norm(np.diff(pts, axis=0), axis=1).sum())

@@ -12,6 +12,18 @@ from .render import (
     visualize_mesh_traj,
     visualize_sample_pred_gt,
     visualize_batch_grid,
+    visualize_mesh_traj_animated,
+    visualize_mesh_traj_multiangle,
+    visualize_latent_segments,
+    visualize_latent_segments_batch,
+    visualize_pc,
+    visualize_sops,
+    visualize_box,
+    visualize_boxes,
+    visualize_sequence_traj,
+    visualize_centroid_traj,
+    visualize_complete_traj,
+    visualize_complete_traj_tour,
 )
 
 __all__ = [
@@ -20,4 +32,16 @@ __all__ = [
     "visualize_mesh_traj",
     "visualize_sample_pred_gt",
     "visualize_batch_grid",
+    "visualize_mesh_traj_animated",
+    "visualize_mesh_traj_multiangle",
+    "visualize_latent_segments",
+    "visualize_latent_segments_batch",
+    "visualize_pc",
+    "visualize_sops",
+    "visualize_box",
+    "visualize_boxes",
+    "visualize_sequence_traj",
+    "visualize_centroid_traj",
+    "visualize_complete_traj",
+    "visualize_complete_traj_tour",
 ]

@@ -241,3 +241,152 @@ def visualize_latent_segments_batch(latent_segments, stroke_ids,
         fig.savefig(save_path, dpi=100, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def visualize_pc(ax, pc, color="lightgray", point_size=0.5, alpha=0.6):
+    """Scatter an object point cloud on a 3D axis
+    (reference utils/visualize.py:459-511)."""
+    pc = np.asarray(pc)
+    ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], s=point_size, c=color,
+               alpha=alpha)
+    if len(pc):
+        _axis_equal(ax, pc[:, :3])
+
+
+def visualize_sops(ax, sops, stroke_ids=None, confidences=None, outdim=6,
+                   point_size=30.0):
+    """Start-of-path tokens as per-stroke colored markers.
+
+    Reference utils/visualize.py:131-244 (visualize_sops/visualize_sop):
+    each token is ``token_length`` concatenated poses; −100 rows are
+    padding and skipped; marker opacity follows the SoP confidence when
+    given (sigmoid applied to raw logits outside).
+    """
+    sops = np.asarray(sops)
+    n = len(sops)
+    colors = stroke_colors(n)
+    for i, sop in enumerate(sops):
+        tok = np.asarray(sop).reshape(-1)
+        if np.all(tok == -100.0):
+            continue
+        pts = tok.reshape(-1, outdim)[:, :3]
+        alpha = 1.0
+        if confidences is not None:
+            alpha = float(np.clip(confidences[i], 0.05, 1.0))
+        cid = int(stroke_ids[i]) if stroke_ids is not None else i
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=point_size,
+                   color=colors[cid % len(colors)], alpha=alpha,
+                   marker="o", edgecolors="black", linewidths=0.4)
+        if pts.shape[-1] >= 3 and tok.reshape(-1, outdim).shape[-1] >= 6:
+            o = tok.reshape(-1, outdim)[:, 3:6]
+            ax.quiver(pts[:, 0], pts[:, 1], pts[:, 2],
+                      o[:, 0], o[:, 1], o[:, 2], length=0.1,
+                      color="gray", lw=0.5, alpha=alpha)
+
+
+_BOX_EDGES = [(0, 1), (1, 3), (3, 2), (2, 0), (4, 5), (5, 7), (7, 6),
+              (6, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def visualize_box(ax, box, color="tab:blue", lw=1.0, alpha=0.8):
+    """One 3-D bounding box as a wireframe.
+
+    Reference utils/visualize.py:105-128: ``box`` is
+    (xmin, xmax, ymin, ymax, zmin, zmax) — the ``get_3dbbox`` output
+    order (reference utils/pointcloud.py:552-556); center/size encodings
+    convert via ``from_bbox_encoding_to_visual_format``
+    (data/pointcloud.py).
+    """
+    box = np.asarray(box).reshape(-1)[:6]
+    mins = box[0::2]
+    maxs = box[1::2]
+    corners = np.array(
+        [[x, y, z] for x in (mins[0], maxs[0]) for y in (mins[1], maxs[1])
+         for z in (mins[2], maxs[2])]
+    )
+    for a, b in _BOX_EDGES:
+        seg = corners[[a, b]]
+        ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], color=color, lw=lw,
+                alpha=alpha)
+
+
+def visualize_boxes(ax, boxes, colors=None, **kwargs):
+    """A set of 3-D boxes; −100 rows are padding and skipped
+    (reference utils/visualize.py:92-102)."""
+    boxes = np.asarray(boxes)
+    cs = colors or stroke_colors(len(boxes))
+    for i, b in enumerate(boxes):
+        if np.all(np.asarray(b) == -100.0):
+            continue
+        visualize_box(ax, b, color=cs[i % len(cs)], **kwargs)
+
+
+def visualize_sequence_traj(ax, traj, cmap="viridis", point_size=2.0):
+    """Trajectory colored by sequence position (reference
+    utils/visualize.py:292-313) — reveals the in-stroke pose ordering."""
+    traj = np.asarray(traj)
+    valid = ~np.all(traj[:, :3] == -100.0, axis=-1)
+    pts = traj[valid][:, :3]
+    if not len(pts):
+        return
+    c = np.linspace(0.0, 1.0, len(pts))
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=c, cmap=cmap,
+               s=point_size)
+    _axis_equal(ax, pts)
+
+
+def visualize_centroid_traj(ax, traj, lambda_points, outdim=6,
+                            stroke_ids=None):
+    """λ-segment centroids as a point set (reference
+    utils/visualize.py:366-403)."""
+    traj = np.asarray(traj)
+    valid = ~np.all(traj == -100.0, axis=-1)
+    segs = traj[valid].reshape(-1, lambda_points, outdim)
+    centroids = segs[..., :3].mean(axis=1)
+    ids = (np.asarray(stroke_ids).reshape(-1)[valid]
+           if stroke_ids is not None else None)
+    visualize_traj(ax, centroids, ids)
+
+
+def visualize_complete_traj(ax, traj, stroke_ids=None, lw=0.8):
+    """Strokes drawn as continuous polylines in index order (reference
+    utils/visualize.py:316-363)."""
+    visualize_traj(ax, traj, stroke_ids, point_size=0.5)
+
+
+def visualize_complete_traj_tour(ax, traj, stroke_ids, tour, lw=0.8):
+    """Continuous polyline following an explicit segment ordering
+    (``tour``), e.g. a beam-search/TSP concat order (reference
+    utils/visualize.py:406-456)."""
+    traj = np.asarray(traj)
+    order = np.asarray(tour).reshape(-1)
+    order = order[(order >= 0) & (order < len(traj))]
+    pts = traj[order][:, :3]
+    pts = pts[~np.all(pts == -100.0, axis=-1)]
+    if not len(pts):
+        return
+    ax.plot(pts[:, 0], pts[:, 1], pts[:, 2], "-", lw=lw, color="tab:red")
+    visualize_traj(ax, traj, stroke_ids)
+
+
+def visualize_mesh_traj_multiangle(point_cloud, traj, stroke_ids=None,
+                                   save_path=None, title="", n_views=4,
+                                   elev=25):
+    """One sample rendered from ``n_views`` azimuths in a row (reference
+    utils/visualize.py:526-586)."""
+    fig = plt.figure(figsize=(3.2 * n_views, 3.4))
+    pc = np.asarray(point_cloud)
+    for k in range(n_views):
+        ax = fig.add_subplot(1, n_views, k + 1, projection="3d")
+        ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], s=0.3, c="lightgray",
+                   alpha=0.5)
+        visualize_traj(ax, traj, stroke_ids)
+        ax.view_init(elev=elev, azim=45 + 90 * k)
+        ax.set_axis_off()
+    if title:
+        fig.suptitle(title, fontsize=10)
+    if save_path:
+        fig.savefig(save_path, dpi=130, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig

@@ -268,3 +268,68 @@ class TestVizExtensions:
         f2 = tmp_path / "lat_batch.png"
         visualize_latent_segments_batch(lat, sids, save_path=str(f2))
         assert f2.exists()
+
+
+class TestSmallUtilities:
+    def test_from_stroke_ids_to_masks_roundtrip(self):
+        from maskplanner_tpu.postprocess import from_stroke_ids_to_masks
+
+        ids = np.array([0, 0, 2, 1, -1, 2, 1])
+        masks = from_stroke_ids_to_masks(ids)
+        assert masks.shape == (3, 7)
+        # mutually exclusive over valid entries, padding in no mask
+        np.testing.assert_array_equal(masks.sum(axis=0),
+                                      [1, 1, 1, 1, 0, 1, 1])
+        np.testing.assert_array_equal(masks[2], [0, 0, 1, 0, 0, 1, 0])
+
+    def test_compute_total_path_length(self):
+        from maskplanner_tpu.postprocess import compute_total_path_length
+
+        pts = np.array([[0, 0, 0, 9, 9, 9], [3, 4, 0, 1, 1, 1],
+                        [3, 4, 12, 0, 0, 0]], float)
+        # 5 + 12; orientation columns ignored
+        assert abs(compute_total_path_length(pts) - 17.0) < 1e-9
+        assert compute_total_path_length(pts[:1]) == 0.0
+
+
+class TestVizHelpers:
+    """Smoke tests: every reference visualize.py helper equivalent renders
+    to a PNG without error (matplotlib Agg, reference
+    utils/visualize.py:42-511,526-586)."""
+
+    def test_helper_family_renders(self, rng, tmp_path):
+        import matplotlib.pyplot as plt
+
+        from maskplanner_tpu.viz import (
+            visualize_pc, visualize_sops, visualize_box, visualize_boxes,
+            visualize_sequence_traj, visualize_centroid_traj,
+            visualize_complete_traj, visualize_complete_traj_tour,
+            visualize_mesh_traj_multiangle)
+
+        pc = rng.normal(size=(200, 3)).astype(np.float32)
+        traj = rng.normal(size=(40, 6)).astype(np.float32)
+        ids = np.repeat(np.arange(4), 10)
+        sops = rng.normal(size=(4, 6)).astype(np.float32)
+        sops[3] = -100.0  # padding token is skipped
+        boxes = np.array([[0, 1, 0, 2, 0, 3], [-100] * 6], float)
+
+        fig = plt.figure()
+        ax = fig.add_subplot(111, projection="3d")
+        visualize_pc(ax, pc)
+        visualize_sops(ax, sops, confidences=[0.9, 0.5, 1.0, 0.2])
+        visualize_box(ax, boxes[0])
+        visualize_boxes(ax, boxes)
+        visualize_sequence_traj(ax, traj)
+        visualize_centroid_traj(ax, traj.reshape(10, 24), lambda_points=4)
+        visualize_complete_traj(ax, traj, ids)
+        visualize_complete_traj_tour(ax, traj, ids,
+                                     tour=np.arange(39, -1, -1))
+        out = tmp_path / "helpers.png"
+        fig.savefig(out)
+        plt.close(fig)
+        assert out.stat().st_size > 0
+
+        p = visualize_mesh_traj_multiangle(
+            pc, traj, ids, save_path=str(tmp_path / "multi.png"),
+            title="multi")
+        assert (tmp_path / "multi.png").stat().st_size > 0
