@@ -22,7 +22,7 @@ def main():
     from maskplanner_tpu.data.dataset import PaintDataset, DataLoader
     from maskplanner_tpu.losses import LossHandler
     from maskplanner_tpu.models import get_model
-    from maskplanner_tpu.train import create_train_state, make_train_step
+    from maskplanner_tpu.train import create_train_state
     from maskplanner_tpu.train.trainer import build_loss_batch
 
     config = load_args(argv=[
@@ -81,16 +81,9 @@ def main():
                          mutable=["batch_stats"], rngs={"fps": rng, "dropout": rng})
     lb0 = build_loss_batch(out, batch, config)
     lb0 = {k: jax.device_put(v) for k, v in lb0.items()}
-    train_step = make_train_step(model, handler, config)
-    import time
-    st2, loss, _ = train_step(state, batch, weights, rng)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        st2, loss, _ = train_step(st2, batch, weights, rng)
-    jax.block_until_ready(loss)
-    print(f"full_step_dispatch: {(time.perf_counter()-t0)/10*1000:.2f} ms")
-
+    # (full-step timing lives in bench.py: k data-chained steps inside one
+    # jit + value fetch — dispatch-loop timing under-reads through the
+    # remote-execution tunnel)
     for name in handler.loss:
         sub = LossHandler([name], config)
         w = sub.init_weights()
@@ -102,10 +95,6 @@ def main():
             return val
 
         print(f"loss[{name}]: {loop_bench(term2, lb0['y_pred'], iters=10)*1000:.2f} ms")
-
-
-if __name__ == "__main__":
-    main()
 
 
 def backward_split():
@@ -167,5 +156,8 @@ def backward_split():
 
 if __name__ == "__main__":
     import sys as _s
+
     if "--split" in _s.argv:
         backward_split()
+    else:
+        main()

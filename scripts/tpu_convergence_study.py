@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--bf16", action="store_true",
                     help="train with bf16 compute (params stay f32)")
+    ap.add_argument("--category", default="cuboids_v2",
+                    help="category config (cuboids_v2/windows_v2/...)")
     args = ap.parse_args()
 
     import train_maskplanner
@@ -37,7 +39,7 @@ def main():
     out = args.out or tempfile.mkdtemp(prefix="tpu_convergence_")
     ep = args.epochs
     cfg = load_args(argv=[
-        "config=[maskplanner,cuboids_v2,longx_v2]",
+        f"config=[maskplanner,{args.category},longx_v2]",
         # compress the 4800-epoch curriculum proportionally
         f"epochs={ep}",
         f"eval_freq={max(ep // 8, 1)}",
