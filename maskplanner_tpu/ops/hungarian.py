@@ -151,7 +151,14 @@ def hungarian(
 
     from .sampling import _use_pallas
 
-    if _use_pallas() and n <= 128:
+    # Kernel dispatch bounds: the kernel's row select is an O(n) scan per
+    # Dijkstra step (O(n^3) sequential vector ops total — measured wins at
+    # the mask/stroke matching sizes n<=41+pad, untested headroom beyond),
+    # and the whole padded (n, Bp, 128) cost plus carries live in one
+    # un-gridded program, so the batch x n footprint must fit VMEM.
+    Bp = max(8, -(-Bf // 8) * 8)
+    fits_vmem = n * Bp * 128 * 4 <= (4 << 20)
+    if _use_pallas() and n <= 64 and fits_vmem:
         # single-kernel batched JV: the whole batch advances in lockstep
         # inside one Pallas program (~17x over the vmapped XLA loop)
         from .pallas.lap import lap_jv_pallas

@@ -57,10 +57,7 @@ def from_stroke_ids_to_masks(stroke_ids, n_masks=None):
     valid = ids >= 0
     n = int(n_masks) if n_masks is not None else (
         int(ids[valid].max()) + 1 if valid.any() else 0)
-    masks = np.zeros((n, ids.shape[0]), dtype=np.float64)
-    for k in range(n):
-        masks[k] = (ids == k) & valid
-    return masks
+    return (ids[None, :] == np.arange(n)[:, None]).astype(np.float64)
 
 
 def compute_total_path_length(traj_points):

@@ -29,7 +29,7 @@ def _axis_equal(ax, pts):
 
 
 def visualize_traj(ax, traj, stroke_ids=None, with_orientations=False,
-                   point_size=2.0):
+                   point_size=2.0, lw=0.6):
     """Scatter/plot per-stroke colored trajectory points on a 3D axis."""
     traj = np.asarray(traj)
     valid = ~np.all(traj[:, :3] == -100.0, axis=-1)
@@ -44,7 +44,7 @@ def visualize_traj(ax, traj, stroke_ids=None, with_orientations=False,
             continue
         pts = traj[stroke_ids == sid]
         ax.plot(pts[:, 0], pts[:, 1], pts[:, 2], ".-", ms=point_size,
-                lw=0.6, color=colors[int(sid) % len(colors)])
+                lw=lw, color=colors[int(sid) % len(colors)])
         if with_orientations and traj.shape[-1] >= 6:
             step = max(1, len(pts) // 25)
             q = pts[::step]
@@ -314,7 +314,8 @@ def visualize_boxes(ax, boxes, colors=None, **kwargs):
     """A set of 3-D boxes; −100 rows are padding and skipped
     (reference utils/visualize.py:92-102)."""
     boxes = np.asarray(boxes)
-    cs = colors or stroke_colors(len(boxes))
+    cs = colors if colors is not None and len(colors) else stroke_colors(
+        len(boxes))
     for i, b in enumerate(boxes):
         if np.all(np.asarray(b) == -100.0):
             continue
@@ -351,7 +352,7 @@ def visualize_centroid_traj(ax, traj, lambda_points, outdim=6,
 def visualize_complete_traj(ax, traj, stroke_ids=None, lw=0.8):
     """Strokes drawn as continuous polylines in index order (reference
     utils/visualize.py:316-363)."""
-    visualize_traj(ax, traj, stroke_ids, point_size=0.5)
+    visualize_traj(ax, traj, stroke_ids, point_size=0.5, lw=lw)
 
 
 def visualize_complete_traj_tour(ax, traj, stroke_ids, tour, lw=0.8):

@@ -50,11 +50,6 @@ def main():
     lb = build_loss_batch(out, batch, config)
     lb = {k: jax.device_put(v) for k, v in lb.items()}
     outdim = 6
-    for k, v in lb.items():
-        try:
-            print(f"  lb[{k}]: {v.shape}")
-        except AttributeError:
-            pass
 
     y_pred, y, y_mask = lb["y_pred"], lb["y"], lb.get("y_mask")
     traj_as_pc, pc_mask = lb["traj_as_pc"], lb.get("pc_mask")
@@ -78,20 +73,21 @@ def main():
 
     nn_dist, match = _forward_segment_chamfer_with_matching(y_pred, y, y_mask)
     nn_dist, match = jax.device_put(nn_dist), jax.device_put(match)
+    mask_weights = {
+        "explicit_weight_stroke_masks":
+            weights.get("explicit_weight_stroke_masks", 1.0),
+        "explicit_weight_stroke_masks_confidence":
+            weights.get("explicit_weight_stroke_masks_confidence", 1.0),
+        "explicit_no_stroke_weight":
+            weights.get("explicit_no_stroke_weight", 0.1),
+    }
 
     def mask_loss(sm):
-        val, _ = stroke_masks_loss(
-            sm, out.mask_scores, match,
-            lb["stroke_ids"], lb.get("n_strokes"), nn_dist, weights, config)
-        return val
+        return stroke_masks_loss(match, sm, lb["mask_scores"],
+                                 lb["stroke_ids"], mask_weights,
+                                 nn_distance=nn_dist)
 
-    import inspect
-    sig = inspect.signature(stroke_masks_loss)
-    print("stroke_masks_loss sig:", list(sig.parameters))
-    try:
-        print(f"stroke_masks_loss: {loop_bench(mask_loss, out.stroke_masks, iters=10)*1000:.2f} ms")
-    except Exception as e:
-        print("direct call failed:", type(e).__name__, str(e)[:200])
+    print(f"stroke_masks_loss: {loop_bench(mask_loss, lb['pred_stroke_masks'], iters=10)*1000:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -41,7 +41,7 @@ def main():
     x2, f2 = sa2.apply(v2, x1, f1, False)
     v3 = sa3.init({"params": key}, x2[:1], f2[:1], True)
 
-    def stage_fb(mod, vars_, feats, name, has_fps=True):
+    def stage_fb(mod, vars_, has_fps=True):
         def run(a, f):
             def lf(params):
                 vv = {"params": params,
@@ -53,12 +53,11 @@ def main():
             return gsum(jax.grad(lf)(vars_["params"]))
         return run
 
-    r1 = stage_fb(sa1, v1, None, "sa1")
+    r1 = stage_fb(sa1, v1)
     print(f"sa1 fwd+bwd: {loop_bench(lambda a: r1(a, None), x, iters=10)*1000:.2f} ms")
-    r1f = lambda a: None
-    r2 = stage_fb(sa2, v2, f1, "sa2")
+    r2 = stage_fb(sa2, v2)
     print(f"sa2 fwd+bwd: {loop_bench(lambda a: r2(a, f1), x1, iters=10)*1000:.2f} ms")
-    r3 = stage_fb(sa3, v3, f2, "sa3", has_fps=False)
+    r3 = stage_fb(sa3, v3, has_fps=False)
     print(f"sa3 fwd+bwd: {loop_bench(lambda a: r3(a, f2), x2, iters=10)*1000:.2f} ms")
 
     # forward-only for contrast

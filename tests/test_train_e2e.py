@@ -79,8 +79,6 @@ class TestTrainDriver:
         import train_maskplanner
         from maskplanner_tpu.models import get_model
         from maskplanner_tpu.utils.config import load_config
-        from maskplanner_tpu.train import checkpoints
-        from maskplanner_tpu.train.trainer import create_train_state
 
         cfg = tiny_config(tmp_path)
         cfg["model"]["bf16"] = True
@@ -94,7 +92,6 @@ class TestTrainDriver:
                    for p in jax.tree.leaves(state.params))
         # model outputs cast back to f32 at the boundary (.npy dumps,
         # f32 loss reductions)
-        from maskplanner_tpu.models import get_model
         model = get_model(cfg)
         pc = np.zeros((1, 64, 3), np.float32)
         out = model.apply({"params": state.params,
