@@ -263,9 +263,23 @@ def main(config=None):
                 run.summary[f"final_{split}_{k}"] = v
             if ms is not None:
                 run.summary[f"{split}_inference_ms"] = ms
-        if not config.get("skip_rendering"):
-            print(f"Renderable dumps written to {results_dir} "
-                  f"(run render_results.py --run {run_dir})")
+        if not config.get("skip_rendering") and not config.get("debug"):
+            # auto-render like the reference (train_maskplanner.py:380:
+            # guarded by skip_rendering/debug/no_save, spawns
+            # render_results at end of training); non-fatal
+            import subprocess
+            import sys as _sys
+
+            print(f"Rendering results from {results_dir} ...")
+            try:
+                subprocess.run(
+                    [_sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "render_results.py"),
+                     "--run", run_dir, "--max_samples", "4"],
+                    check=False, timeout=600)
+            except Exception as e:  # rendering must never fail the run
+                print(f"(rendering skipped: {e})")
 
     run.finish()
     return run_dir, state
