@@ -1,0 +1,74 @@
+"""Device-resident dataset staging for epoch-as-one-dispatch training.
+
+PaintNet categories are small (hundreds of meshes; the synthetic mirror
+matches), so the entire training split fits comfortably in HBM. Staging
+it once and running each epoch as a single jitted ``lax.scan``
+(``train.trainer.make_scan_train_epoch``) removes the per-step host work
+and dispatch round-trip that otherwise dominates wall-clock (measured
+~208 ms/step wall vs 47 ms device compute through the remote-execution
+tunnel at the flagship shape).
+
+Batch composition stays bit-identical to the host ``DataLoader``: the
+per-epoch shuffle still runs on the host with the same seeded numpy rng,
+and only the batch *gather* moves on device.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .dataset import collate
+
+_DEFAULT_BYTE_LIMIT = 2 << 30  # 2 GiB of HBM for the staged split
+
+
+def device_dataset_eligible(config, n_devices: int) -> bool:
+    """Whether the scan-epoch path applies.
+
+    Opt-out with ``device_dataset=false``; otherwise automatic when
+    - single device (multi-chip DP shards batches through the host
+      loader / ``shard_batch_global`` instead),
+    - no host-side per-epoch augmentations (``pc_online_subsampling``
+      resamples on the host each epoch),
+    - no adversarial loss (the GAN step threads discriminator state).
+    """
+    flag = str(config.get("device_dataset", "auto")).lower()
+    if flag == "false":
+        return False
+    if n_devices != 1:
+        return False
+    if config.get("augmentations"):
+        return False
+    if any(n in ("discriminator", "wdiscriminator")
+           for n in config["loss"]):
+        return False
+    return True
+
+
+def stage_device_dataset(dataset, byte_limit: int = _DEFAULT_BYTE_LIMIT):
+    """Materialize + stack the whole dataset and put it on device.
+
+    Returns the device dict, or None if the stacked split exceeds
+    ``byte_limit``.
+    """
+    import jax
+
+    items = [dataset[i] for i in range(len(dataset))]
+    stacked = collate(items)
+    nbytes = sum(np.asarray(v).nbytes for v in stacked.values())
+    if nbytes > byte_limit:
+        return None
+    return jax.device_put(stacked)
+
+
+def epoch_perm(n: int, batch_size: int, seed: int, epoch: int,
+               shuffle: bool = True) -> np.ndarray:
+    """(steps, batch) index matrix — the exact batch composition the host
+    ``DataLoader.epoch`` would produce (same seeded numpy shuffle,
+    drop-last)."""
+    order = np.arange(n)
+    rng = np.random.default_rng(seed + epoch)
+    if shuffle:
+        rng.shuffle(order)
+    steps = n // batch_size
+    return order[: steps * batch_size].reshape(
+        steps, batch_size).astype(np.int32)

@@ -60,34 +60,71 @@ def build_loss_batch(out, batch, config) -> dict:
     return lb
 
 
+def _train_step_impl(model, handler: LossHandler, config,
+                     state: TrainState, batch, weights, rng):
+    """One un-jitted training step (shared by the per-batch jit and the
+    device-resident epoch scan — identical rng folding in both, so the
+    two paths produce bit-identical updates for the same batches)."""
+    dropout_rng, fps_rng, loss_rng = jax.random.split(
+        jax.random.fold_in(rng, state.step), 3)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        out, mutated = model.apply(
+            variables,
+            batch["point_cloud"],
+            train=True,
+            rngs={"dropout": dropout_rng, "fps": fps_rng},
+            mutable=["batch_stats"],
+        )
+        lb = build_loss_batch(out, batch, config)
+        total, terms = handler.compute(weights, rng=loss_rng, **lb)
+        return total, (terms, mutated["batch_stats"])
+
+    (loss, (terms, new_bs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_bs)
+    return state, loss, terms
+
+
 def make_train_step(model, handler: LossHandler, config):
     """Returns jitted ``train_step(state, batch, weights, rng)``."""
 
     def train_step(state: TrainState, batch, weights, rng):
-        dropout_rng, fps_rng, loss_rng = jax.random.split(
-            jax.random.fold_in(rng, state.step), 3)
-
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            out, mutated = model.apply(
-                variables,
-                batch["point_cloud"],
-                train=True,
-                rngs={"dropout": dropout_rng, "fps": fps_rng},
-                mutable=["batch_stats"],
-            )
-            lb = build_loss_batch(out, batch, config)
-            total, terms = handler.compute(weights, rng=loss_rng, **lb)
-            return total, (terms, mutated["batch_stats"])
-
-        (loss, (terms, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        state = state.apply_gradients(grads=grads)
-        state = state.replace(batch_stats=new_bs)
-        return state, loss, terms
+        return _train_step_impl(model, handler, config, state, batch,
+                                weights, rng)
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_scan_train_epoch(model, handler: LossHandler, config):
+    """Epoch-as-one-dispatch: ``train_epoch(state, data, perm, weights,
+    rng)`` runs ``perm.shape[0]`` steps inside a single jitted
+    ``lax.scan``, gathering each step's batch from the device-resident
+    dataset by index.
+
+    Through a remote-execution tunnel (and at real scale, across the
+    dispatch-per-step host overhead) the per-batch path spends 3-4x the
+    device-step time on host work + RTT; with the whole (small — PaintNet
+    categories are a few hundred meshes) dataset staged in HBM, the host
+    syncs once per epoch. rng folding matches the per-batch path exactly
+    (fold_in by ``state.step`` inside the shared step impl).
+    """
+
+    def train_epoch(state: TrainState, data, perm, weights, rng):
+        def body(st, idx):
+            batch = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, idx, axis=0), data)
+            st, loss, terms = _train_step_impl(
+                model, handler, config, st, batch, weights, rng)
+            return st, (loss, terms)
+
+        state, (losses, terms) = jax.lax.scan(body, state, perm)
+        return state, losses, terms
+
+    return jax.jit(train_epoch, donate_argnums=(0,))
 
 
 def make_gan_train_step(model, handler: LossHandler, config, adv):

@@ -123,3 +123,72 @@ class TestTrainDriver:
         # memorizes through the output-layer path only), so convergence
         # is steady but slow — measured ~23% drop in 30 epochs
         assert end < 0.85 * start, (start, end)
+
+
+class TestDeviceDatasetEpoch:
+    """Epoch-as-one-dispatch (device-resident dataset + lax.scan epoch)."""
+
+    def test_scan_epoch_matches_per_batch_path_exactly(self, tmp_path):
+        """One scan epoch == the same sequence of per-batch train_step
+        calls: same host-side shuffle, same rng folding by state.step, so
+        the final params must match to float tolerance."""
+        import jax
+        import numpy as np
+
+        from maskplanner_tpu.data.dataset import PaintDataset, DataLoader
+        from maskplanner_tpu.data.device_dataset import (
+            epoch_perm, stage_device_dataset, device_dataset_eligible)
+        from maskplanner_tpu.losses import LossHandler
+        from maskplanner_tpu.models import get_model
+        from maskplanner_tpu.train import create_train_state, make_train_step
+        from maskplanner_tpu.train.trainer import make_scan_train_epoch
+
+        cfg = tiny_config(tmp_path, dataset_size=4, batch_size=2)
+        assert device_dataset_eligible(cfg, n_devices=1)
+        ds = PaintDataset(cfg, split="train", size=4)
+        loader = DataLoader(ds, 2, shuffle=True, seed=1)
+        model = get_model(cfg)
+        rng = jax.random.PRNGKey(0)
+        handler = LossHandler(cfg["loss"], cfg)
+        weights = handler.init_weights()
+        pc0 = np.asarray(ds[0]["point_cloud"])[None]
+
+        state_a = create_train_state(model, cfg, rng, pc0)
+        state_b = create_train_state(model, cfg, rng, pc0)
+
+        # path A: host loader + per-batch jitted steps
+        step = make_train_step(model, handler, cfg)
+        losses_a = []
+        for batch in loader.epoch(0):
+            state_a, loss, _ = step(state_a, batch, weights, rng)
+            losses_a.append(float(loss))
+
+        # path B: device-staged data + one scan dispatch
+        data = stage_device_dataset(ds)
+        perm = epoch_perm(len(ds), 2, seed=1, epoch=0)
+        train_epoch = make_scan_train_epoch(model, handler, cfg)
+        state_b, losses_b, terms_b = train_epoch(state_b, data, perm,
+                                                 weights, rng)
+
+        np.testing.assert_allclose(losses_a, np.asarray(losses_b),
+                                   rtol=1e-5, atol=1e-4)
+        for pa, pb in zip(jax.tree.leaves(state_a.params),
+                          jax.tree.leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       rtol=1e-5, atol=1e-5)
+        assert int(state_b.step) == int(state_a.step) == len(losses_a)
+
+    def test_driver_uses_scan_path(self, tmp_path):
+        """The training driver auto-enables the device-resident path for
+        eligible configs and still trains/checkpoints normally."""
+        import json
+
+        import train_maskplanner
+
+        cfg = tiny_config(tmp_path, dataset_size=4, batch_size=2)
+        run_dir, state = train_maskplanner.main(cfg)
+        logs = [json.loads(l) for l in
+                open(os.path.join(run_dir, "logs.jsonl"))]
+        losses = [l["train_loss"] for l in logs if "train_loss" in l]
+        assert len(losses) == 4 and all(np.isfinite(losses))
+        assert int(state.step) == 8  # 4 epochs x 2 steps, all executed

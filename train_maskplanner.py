@@ -164,8 +164,24 @@ def main(config=None):
 
     from maskplanner_tpu.utils.profiling import profile_trace
     from maskplanner_tpu.data.prefetch import Prefetcher
+    from maskplanner_tpu.data.device_dataset import (
+        device_dataset_eligible, epoch_perm, stage_device_dataset)
 
-    prefetcher = Prefetcher(tr_loader, mesh)
+    # epoch-as-one-dispatch: stage the (small) training split in HBM and
+    # run every epoch as a single jitted lax.scan — identical batches
+    # (same host-side seeded shuffle) and identical rng folding, one host
+    # sync per epoch instead of per-step dispatch overhead
+    device_data = None
+    if (device_dataset_eligible(config, len(jax.devices()))
+            and len(tr_dataset) >= batch_size):
+        device_data = stage_device_dataset(tr_dataset)
+    if device_data is not None:
+        from maskplanner_tpu.train.trainer import make_scan_train_epoch
+
+        train_epoch_fn = make_scan_train_epoch(model, loss_handler, config)
+        print("device-resident dataset: epoch-as-one-dispatch enabled")
+    else:
+        prefetcher = Prefetcher(tr_loader, mesh)
 
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
@@ -175,16 +191,25 @@ def main(config=None):
         # stream fully async (per-step float() would stall the pipeline)
         loss_acc, term_acc = [], []
         with profile_trace(run_dir, enabled=do_profile):
-            for device_batch in prefetcher.epoch(epoch):
-                if adv is not None:
-                    state, d_state, loss, terms = train_step(
-                        state, d_state, device_batch, weights, rng)
-                else:
-                    state, loss, terms = train_step(state, device_batch,
-                                                    weights, rng)
-                loss_acc.append(loss)
-                term_acc.append(terms)
-                n_batches += 1
+            if device_data is not None:
+                perm = epoch_perm(len(tr_dataset), batch_size,
+                                  int(config.get("seed") or 0), epoch)
+                state, losses, terms_arr = train_epoch_fn(
+                    state, device_data, perm, weights, rng)
+                n_batches = perm.shape[0]
+                loss_acc = [losses.sum()]
+                term_acc = [{k: v.sum() for k, v in terms_arr.items()}]
+            else:
+                for device_batch in prefetcher.epoch(epoch):
+                    if adv is not None:
+                        state, d_state, loss, terms = train_step(
+                            state, d_state, device_batch, weights, rng)
+                    else:
+                        state, loss, terms = train_step(state, device_batch,
+                                                        weights, rng)
+                    loss_acc.append(loss)
+                    term_acc.append(terms)
+                    n_batches += 1
         epoch_loss = float(sum(loss_acc)) / n_batches
         for terms in term_acc:
             for k, v in terms.items():
