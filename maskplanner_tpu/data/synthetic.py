@@ -101,7 +101,13 @@ def generate_sample(category: str, index: int, pc_points: int = 5120,
 
     # strokes: raster passes over a few random faces
     n_faces = rng.integers(preset["n_faces"][0], preset["n_faces"][1] + 1)
-    faces = rng.choice(6, size=n_faces, replace=False)
+    # shelves/containers presets draw more stroke groups than a box has
+    # faces — revisit faces for the excess (same deterministic draws as
+    # before for n_faces <= 6)
+    faces = rng.choice(6, size=min(int(n_faces), 6), replace=False)
+    if n_faces > 6:
+        faces = np.concatenate(
+            [faces, rng.choice(6, size=int(n_faces) - 6, replace=True)])
     trajs, ids = [], []
     sid = 0
     for f in faces:

@@ -85,6 +85,16 @@ class TestSynthetic:
         np.testing.assert_array_equal(a[0], b[0])
         np.testing.assert_array_equal(a[1], b[1])
 
+    def test_many_stroke_categories_generate(self):
+        """shelves/containers presets draw more stroke groups than a box
+        has faces (n_faces up to 10); face selection must revisit faces
+        for the excess instead of raising (regression: replace=False
+        choice of >6 from 6 crashed ~half the shelves seeds)."""
+        for cat in ("shelves-v2", "containers-v2"):
+            for i in range(40):
+                pc, traj, ids = generate_sample(cat, i, pc_points=64)
+                assert len(np.unique(ids)) >= 1
+
     def test_contract(self):
         pc, traj, ids = generate_sample("windows-v2", 0, pc_points=128)
         assert pc.shape == (128, 3)
