@@ -171,3 +171,77 @@ class TestEvalAndRenderDrivers:
         s_enc = jax.tree.leaves(state2.params["encoder"])
         assert len(d_enc) == len(s_enc)
         assert all(a.shape == b.shape for a, b in zip(d_enc, s_enc))
+
+
+@pytest.mark.slow
+class TestPreemption:
+    def test_sigterm_checkpoints_and_resume_completes(self, tmp_path):
+        """Graceful preemption (PARITY §5): SIGTERM mid-training must
+        write a resumable checkpoint and exit cleanly; a second run with
+        resume=true finishes the remaining epochs from where it stopped."""
+        import json
+        import signal
+        import subprocess
+        import time
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        argv = ["config=[maskplanner,cuboids_v2,longx_v2,debug]",
+                "pc_points=64", "n_pred_traj_points=80", "batch_size=2",
+                "epochs=500", "eval_freq=1", "dataset_size=2",
+                "test_dataset_size=2", "no_save=false", "seed=1",
+                "device_dataset=false",  # exercise the host-loader loop
+                f"output_dir={tmp_path}"]
+        # sanitized env like conftest.run_in_clean_subprocess: the
+        # container's sitecustomize registers the TPU platform at
+        # interpreter start, before JAX_PLATFORMS is read
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env["PYTHONPATH"] = ":".join(
+            [repo] + [p for p in env.get("PYTHONPATH", "").split(":")
+                      if p and "axon_site" not in p])
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(repo, "train_maskplanner.py")]
+            + argv, env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+        # wait until a few epochs have been logged, then preempt
+        def logged_epochs():
+            logs = glob.glob(os.path.join(tmp_path, "*", "logs.jsonl"))
+            if not logs:
+                return 0
+            return sum(1 for l in open(logs[0]) if "train_loss" in l)
+
+        deadline = time.time() + 400
+        while logged_epochs() < 3 and time.time() < deadline:
+            assert proc.poll() is None, proc.stdout.read().decode()[-2000:]
+            time.sleep(2)
+        assert logged_epochs() >= 3, "training never reached epoch 3"
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=300)
+
+        run_dir = glob.glob(os.path.join(tmp_path, "*"))[0]
+        assert os.path.isdir(os.path.join(run_dir, "last_checkpoint"))
+        n_before = sum(1 for l in open(os.path.join(run_dir, "logs.jsonl"))
+                       if "train_loss" in l)
+        assert 3 <= n_before < 500, n_before
+
+        # resume to completion with a short remaining budget
+        import train_maskplanner
+
+        cfg = load_args(argv=argv[:-1] + [f"output_dir={tmp_path}"])
+        cfg["epochs"] = n_before + 2
+        cfg["resume"] = True
+        # resume must target the same run dir (patch the driver's own
+        # binding — it imports get_run_name by name)
+        orig = train_maskplanner.get_run_name
+        try:
+            train_maskplanner.get_run_name = (
+                lambda c: os.path.basename(run_dir))
+            run_dir2, state = train_maskplanner.main(cfg)
+        finally:
+            train_maskplanner.get_run_name = orig
+        assert run_dir2 == run_dir
+        logs = [json.loads(l) for l in
+                open(os.path.join(run_dir, "logs.jsonl"))]
+        epochs_logged = [l["epoch"] for l in logs if "train_loss" in l]
+        assert max(epochs_logged) == n_before + 2
+        assert int(state.step) > 0
