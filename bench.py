@@ -73,12 +73,14 @@ def main():
             return jax.lax.fori_loop(0, k, body, (st, jnp.float32(0.0)))
 
         st, l = run(st0)
-        base = float(l)  # forces full execution
-        t0 = time.perf_counter()
-        st, l = run(st0)
-        final = float(l)
-        dt = (time.perf_counter() - t0) / k * 1000
-        return dt, final
+        base = float(l)  # forces full execution (compile + warm-up)
+        best, final = float("inf"), base
+        for _ in range(2):  # min of 2: tunnel hiccups add seconds of noise
+            t0 = time.perf_counter()
+            st, l = run(st0)
+            final = float(l)
+            best = min(best, (time.perf_counter() - t0) / k * 1000)
+        return best, final
 
     step_ms, final_loss = time_train_steps(train_step, state)
     loss = final_loss
