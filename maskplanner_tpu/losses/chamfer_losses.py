@@ -83,6 +83,10 @@ def stoch_reverse_asymm_segment_chamfer(y_pred, y, rng, y_mask=None, **_):
 
 
 def attraction_chamfer(y_pred, **_):
+    # NOTE: slices [:, :, :3] / [:, :, -3:] exactly like the reference
+    # (loss_handler.py:531-532) — for outdim > 3 data the reference's own
+    # "ending points" are the last pose's trailing channels; this loss is
+    # only used with position-only configs
     """Chamfer between segment end points and start points ×100
     (loss_handler.py:524-535)."""
     starts = y_pred[:, :, :3]

@@ -45,6 +45,13 @@ class AdversarialLoss:
         self.train_iter = int(config.get("discr_train_iter", 1))
         self.train_freq = int(config.get("discr_train_freq", 1))
         self.singlestrokes_norm = bool(config.get("singlestrokes_norm"))
+        # reference loss_handler.py:129: singlestrokes input only supports
+        # the MLP backbone (and only the wasserstein kind builds from
+        # discr_backbone — the minimax D is always DGCNN, :121-126)
+        assert not (self.input_type == "singlestrokes"
+                    and (self.backbone != "mlp" or kind != "wdiscriminator")), (
+            'discr_input_type "singlestrokes" only supports '
+            'discr_backbone "mlp" with the wdiscriminator loss')
 
         if kind == "discriminator" or self.backbone == "dgcnn":
             self.module = DGCNNDiscriminator(k=int(config.get("knn_gcn", 20)))
@@ -117,10 +124,16 @@ class AdversarialLoss:
             interp = eps * real + (1 - eps) * fake
 
             def critic(z):
-                out, _ = self._apply(params, bs, z[None], True, rng)
+                # whole-batch apply, like the reference's autograd.grad of
+                # d(interpolates) with ones grad_outputs
+                # (gradient_penalty.py:22-31): per-sample application with
+                # train-mode BatchNorm sees a batch of 1, whose post-pool
+                # BN output is constant in the input — grad ≈ 0 and the
+                # Lipschitz penalty never acts
+                out, _ = self._apply(params, bs, z, True, rng)
                 return out.sum()
 
-            grads = jax.vmap(jax.grad(critic))(interp)
+            grads = jax.grad(critic)(interp)
             gnorm = jnp.sqrt(
                 (grads.reshape(grads.shape[0], -1) ** 2).sum(-1) + 1e-12)
             gp = self.lambda_gp * ((gnorm - 1.0) ** 2).mean()

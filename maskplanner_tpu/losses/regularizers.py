@@ -49,6 +49,9 @@ def repulsion(y_pred, y, outdim, knn_repulsion=1, rep_target=None,
     else:
         gt_mask = y_mask
         if gt_mask is None and lambda_points > 1:
+            # reference parity: the reference derives y_lengths from the
+            # -100 padding only when lambda_points > 1 and passes None
+            # (unmasked) at lambda == 1 (loss_handler.py:1203-1211)
             gt_mask = mask_from_padding(y)
         target = mean_knn_distance(y[:, :, :3], knn_repulsion, mask=gt_mask)
         h = (target * jnp.sqrt(2.0))[:, None, None]

@@ -58,7 +58,7 @@ def masked_mse_strokes(stacked_points_per_stroke_pred,
     n_gt = gt.shape[1]
     pred = stacked_points_per_stroke_pred[:, :n_gt, :]
     fake = jnp.all(gt == -100.0, axis=-1)  # (K, N_gt)
-    diff = jnp.where(fake[..., None], 0.0, pred - jnp.where(fake[..., None], 0.0, gt))
+    diff = jnp.where(fake[..., None], 0.0, pred - gt)
     mse = (diff**2).sum(-1).sum(-1).mean()
     conf = confidence_scores[:, :n_gt, 0]
     bce = bce_with_logits(conf, (~fake).astype(jnp.float32)).sum(-1).mean()
@@ -162,6 +162,12 @@ def emd(y_pred, y, y_mask=None, **_):
         from ..ops.sinkhorn import sinkhorn_emd
 
         return sinkhorn_emd(y_pred, y, y_mask=y_mask)
+    # hungarian() assigns the best n_valid rows to the valid columns and
+    # assumes n_rows >= n_valid (its docstring contract); fewer pred rows
+    # than valid GT entries would silently match fake padded rows
+    assert y_pred.shape[1] >= y.shape[1], (
+        f"emd: predictions ({y_pred.shape[1]} rows) must be >= GT set "
+        f"size ({y.shape[1]})")
     cost = euclid_cdist(y_pred, y)
     row4col, matched = hungarian(cost, y_mask)
     chosen = jnp.take_along_axis(y_pred, row4col[..., None], axis=1)

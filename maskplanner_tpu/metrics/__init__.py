@@ -58,6 +58,14 @@ class MetricsHandler:
         self.metrics = list(metrics)
         unknown = set(self.metrics) - set(METRIC_OUTPUTS)
         assert not unknown, f"invalid metrics: {unknown}"
+        # several families emit the same output names (the reference never
+        # combines them in one run); results are keyed by name, so a
+        # collision would silently drop one family's values
+        names = [n for m in self.metrics for n in METRIC_OUTPUTS[m]]
+        dup = {n for n in names if names.count(n) > 1}
+        assert not dup, (
+            f"metrics {self.metrics} share output names {sorted(dup)}; "
+            f"enable only one family per name (reference contract)")
         self.renorm = renormalize_output_config or {}
         self.renormalize_output = bool(self.renorm.get("active"))
 
@@ -73,9 +81,34 @@ class MetricsHandler:
 
     # -- computation --------------------------------------------------------
     def compute(self, **kw) -> Dict[str, float]:
+        import inspect
+
+        # derivable input: per-segment stroke ids from the mask heads
+        # (clustering_metrics needs them; the eval loop provides masks)
+        if (kw.get("stroke_ids_pred") is None
+                and kw.get("pred_stroke_masks") is not None
+                and kw.get("mask_scores") is not None):
+            kw["stroke_ids_pred"] = process_pred_stroke_masks_to_stroke_ids(
+                np.asarray(kw["pred_stroke_masks"]),
+                np.asarray(kw["mask_scores"]))
+
         out: Dict[str, float] = {}
         for m in self.metrics:
-            vals = getattr(self, f"get_{m}")(**kw)
+            fn = getattr(self, f"get_{m}")
+            required = [
+                p.name for p in inspect.signature(fn).parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+            ]
+            missing = [r for r in required
+                       if kw.get(r) is None]
+            if missing:
+                raise ValueError(
+                    f"metric '{m}' requires inputs {missing} that this "
+                    f"eval path does not produce (e.g. SoP metrics apply "
+                    f"to start-of-path models; use the driver that emits "
+                    f"those outputs)")
+            vals = fn(**kw)
             if not isinstance(vals, (list, tuple)):
                 vals = [vals]
             for name, v in zip(METRIC_OUTPUTS[m], vals):
@@ -88,10 +121,10 @@ class MetricsHandler:
         only)."""
         if not self.renormalize_output:
             return traj
+        traj = jnp.asarray(traj)
         fake = jnp.all(traj == -100.0, axis=-1, keepdims=True)
         scaled = traj.at[..., :3].multiply(
-            self.renorm["from"] / self.renorm["to"]
-        ) if hasattr(traj, "at") else traj
+            self.renorm["from"] / self.renorm["to"])
         return jnp.where(fake, traj, scaled)
 
     def get_pcd(self, y_pred, traj_as_pc, pc_mask=None, **kw):
@@ -163,17 +196,14 @@ class MetricsHandler:
         n_pred = np.array([len(p) for p in processed_sop_pred])
         res = [float(np.mean(n_pred)), float(np.mean(n_gt)),
                float(np.mean(n_pred / np.maximum(n_gt, 1)))]
+        counts, ratios = [], []
         for thr in [(sop_conf_threshold + 1) / 2, sop_conf_threshold / 2]:
             proc = postprocess_sop_predictions(
                 np.asarray(sop_pred), np.asarray(pred_sop_conf_scores), thr)
             n_t = np.array([len(p) for p in proc])
-            res.append(float(np.mean(n_t)))
-        for thr in [(sop_conf_threshold + 1) / 2, sop_conf_threshold / 2]:
-            proc = postprocess_sop_predictions(
-                np.asarray(sop_pred), np.asarray(pred_sop_conf_scores), thr)
-            n_t = np.array([len(p) for p in proc])
-            res.append(float(np.mean(n_t / np.maximum(n_gt, 1))))
-        return res
+            counts.append(float(np.mean(n_t)))
+            ratios.append(float(np.mean(n_t / np.maximum(n_gt, 1))))
+        return res + counts + ratios
 
     def get_sop_metrics_v2(self, sop_pred, processed_sop_pred, sop_gt,
                            pred_sop_conf_scores, sop_conf_threshold, **kw):

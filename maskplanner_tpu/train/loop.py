@@ -52,6 +52,8 @@ def evaluate(state, loader, eval_step, weights, metrics_handler: MetricsHandler,
             m = metrics_handler.compute(
                 y_pred=out.traj if hasattr(out, "traj") else out,
                 traj_as_pc=batch["traj_as_pc"],
+                traj_pc=batch["traj_as_pc"],
+                stroke_ids=batch["stroke_ids"],
                 pc_mask=batch["stroke_ids_as_pc"] >= 0,
                 n_strokes=batch["n_strokes"],
                 pred_stroke_masks=np.asarray(out.stroke_masks)

@@ -79,3 +79,43 @@ class TestAdversarial:
         total, terms = handler.compute(
             weights, y_pred=y_pred, y=y, gan_module=adv, gan_state=d_state)
         assert np.isfinite(float(total))
+
+
+def test_gradient_penalty_sees_nontrivial_gradients(tiny_gan_config=None):
+    """The WGAN-GP penalty must act on real critic gradients: applying
+    the critic per-sample with train-mode BatchNorm collapses grad(D) to
+    ~0 (batch-of-1 BN output is constant in its input), silently
+    disabling the Lipschitz constraint. Whole-batch application (the
+    reference's autograd.grad semantics, gradient_penalty.py:22-31) gives
+    O(1)+ norms."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskplanner_tpu.utils.args import load_args
+    from maskplanner_tpu.losses.gan import AdversarialLoss
+
+    cfg = load_args(argv=[
+        "config=[maskplanner,cuboids_v2,longx_v2,debug]",
+        "pc_points=64", "n_pred_traj_points=80",
+        "loss=[chamfer,wdiscriminator]", "weight_chamfer=1.0",
+        "weight_wdiscriminator=0.01"])
+    adv = AdversarialLoss(cfg, kind="wdiscriminator")
+    rng = jax.random.PRNGKey(0)
+    y = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 20, 24)).astype(np.float32))
+    st = adv.init_state(rng, y)
+
+    real = adv.prepare(y)
+    fake = adv.prepare(y + 0.3)
+    eps = jax.random.uniform(rng, (real.shape[0],) + (1,) * (real.ndim - 1))
+    interp = eps * real + (1 - eps) * fake
+
+    def critic(z):
+        out, _ = adv._apply(st.params, st.batch_stats, z, True, rng)
+        return out.sum()
+
+    g = jax.grad(critic)(interp)
+    norms = jnp.sqrt((g.reshape(g.shape[0], -1) ** 2).sum(-1))
+    # per-sample-BN bug produced exactly sqrt(1e-12)-scale norms
+    assert float(norms.min()) > 1e-3, np.asarray(norms)

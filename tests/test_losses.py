@@ -1,6 +1,7 @@
 """Loss-system parity tests against independent numpy/scipy oracles
 re-deriving the reference semantics (loss_handler.py)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.optimize import linear_sum_assignment
@@ -251,3 +252,40 @@ class TestMetricsHandlerDirect:
         assert out["v_measure"] == 1.0
         assert out["adjusted_rand_score"] == 1.0
         assert out["avg_num_of_outliers"] == 0.0
+
+
+class TestMetricsGuards:
+    def test_duplicate_output_names_rejected(self):
+        from maskplanner_tpu.metrics import MetricsHandler
+        from maskplanner_tpu.utils.args import load_args
+
+        cfg = load_args(argv=["config=[maskplanner,cuboids_v2,longx_v2,debug]"])
+        with pytest.raises(AssertionError, match="share output names"):
+            MetricsHandler(cfg, ["stroke_masks_metrics",
+                                 "strokewise_num_of_strokes_metrics"])
+
+    def test_missing_inputs_raise_informative_error(self):
+        from maskplanner_tpu.metrics import MetricsHandler
+        from maskplanner_tpu.utils.args import load_args
+
+        cfg = load_args(argv=["config=[maskplanner,cuboids_v2,longx_v2,debug]"])
+        h = MetricsHandler(cfg, ["sop_metrics"])
+        with pytest.raises(ValueError, match="sop_metrics.*requires"):
+            h.compute(y_pred=np.zeros((1, 4, 24), np.float32))
+
+    def test_clustering_derives_ids_from_masks(self):
+        """clustering_metrics works from the standard eval loop inputs:
+        stroke_ids_pred is derived from the mask heads when absent."""
+        from maskplanner_tpu.metrics import MetricsHandler
+        from maskplanner_tpu.utils.args import load_args
+
+        rng = np.random.default_rng(0)
+        cfg = load_args(argv=["config=[maskplanner,cuboids_v2,longx_v2,debug]"])
+        h = MetricsHandler(cfg, ["clustering_metrics"])
+        out = h.compute(
+            stroke_ids=rng.integers(0, 3, size=(2, 30)),
+            pred_stroke_masks=rng.normal(size=(2, 6, 30)).astype(np.float32),
+            mask_scores=rng.normal(size=(2, 6)).astype(np.float32))
+        assert set(out) == {"v_measure", "adjusted_rand_score",
+                            "avg_num_of_outliers"}
+        assert all(np.isfinite(v) for v in out.values())
