@@ -36,7 +36,11 @@ def pad_vectors_per_stroke(per_stroke, max_n_strokes, max_len=None,
     out = np.full((max_n_strokes, max_len, D), pad_value, np.float32)
     mask = np.zeros((max_n_strokes,), bool)
     for i, s in enumerate(per_stroke[:max_n_strokes]):
-        out[i, : s.shape[0]] = s
+        # truncate strokes past the configured static budget (a stroke
+        # longer than out_points_per_stroke would otherwise fail the
+        # broadcast into the fixed slot)
+        n = min(s.shape[0], max_len)
+        out[i, :n] = s[:n]
         mask[i] = True
     return out, mask
 
@@ -129,7 +133,13 @@ def history_batches_v2(segments_per_stroke, path_ids, K):
 def add_history_noise(history_batch, lambda_points, outdim, trasl_stdev,
                       orient_stdev, weight_orient,
                       rng: np.random.Generator):
-    """Noisy teacher forcing for autoregressive_v2 (reference :429-448)."""
+    """Noisy teacher forcing for autoregressive_v2 (reference :429-448).
+
+    NOTE (reference parity): like the reference, noise + orientation
+    renormalization apply to every history row including the all-zero
+    pre-start padding rows — the reference renormalizes them identically
+    (and would divide by 0 where we clamp to 1e-12).
+    """
     K = history_batch.shape[1]
     h = history_batch.reshape(history_batch.shape[0], K, lambda_points, outdim)
     noise = np.concatenate([

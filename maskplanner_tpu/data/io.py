@@ -267,17 +267,6 @@ def read_mesh_as_pointcloud(filename: str, n_points: int = 10000,
     return points
 
 
-def get_mean_mesh(filename: str) -> np.ndarray:
-    v, _ = load_obj(filename)
-    return v.mean(axis=0)
-
-
-def get_max_distance(filename: str) -> float:
-    v, _ = load_obj(filename)
-    c = v.mean(axis=0)
-    return float(np.linalg.norm(v - c, axis=1).max())
-
-
 # ---------------------------------------------------------------------------
 # On-disk dataset source
 # ---------------------------------------------------------------------------

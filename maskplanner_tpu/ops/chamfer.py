@@ -230,5 +230,9 @@ def _attraction_chamfer(x: Array, y: Array, soft: bool):
     cham_y = one_direction(y, x)
     if soft:
         return cham_x + cham_y, None
-    # hard variant: per-batch sums, then reduced by caller conventions
+    # hard variant: per-batch SUMS averaged over the batch — the
+    # reference explicitly skips the per-point mean for this variant
+    # (pytorch3d_chamfer.py:294 `point_reduction is not None and not
+    # avoid_in_sequence_collapsing`), so the caller's point_reduction
+    # argument is intentionally ignored here
     return (cham_x + cham_y).mean(), None

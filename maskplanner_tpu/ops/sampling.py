@@ -91,6 +91,12 @@ def farthest_point_sample(
     if mask is not None:
         # invalid points keep distance -inf so argmax never picks them
         min_dist0 = jnp.where(mask, min_dist0, -_BIG)
+        # the start index must honor the mask too: remap an invalid draw
+        # to the sample's first valid point
+        first_valid = jnp.argmax(mask, axis=1).astype(farthest0.dtype)
+        valid_start = jnp.take_along_axis(
+            mask, farthest0[:, None], axis=1)[:, 0]
+        farthest0 = jnp.where(valid_start, farthest0, first_valid)
 
     xyz32 = xyz.astype(jnp.float32)
 

@@ -34,10 +34,13 @@ def log_sinkhorn_potentials(cost: Array, log_a: Array, log_b: Array,
         # f_i = -eps logsumexp_j((g_j - C_ij)/eps + log b_j)
         f = -eps * jax.nn.logsumexp(
             (g[:, None, :] - cost) / eps + log_b[:, None, :], axis=-1)
-        f = jnp.where(jnp.isfinite(log_a), f, 0.0)
+        # masked marginals use the -1e30 sentinel (true -inf would NaN
+        # the logsumexp arithmetic); isfinite(-1e30) is True, so compare
+        # against the sentinel instead
+        f = jnp.where(log_a > _NEG_INF / 2, f, 0.0)
         g = -eps * jax.nn.logsumexp(
             (f[:, :, None] - cost) / eps + log_a[:, :, None], axis=-2)
-        g = jnp.where(jnp.isfinite(log_b), g, 0.0)
+        g = jnp.where(log_b > _NEG_INF / 2, g, 0.0)
         return (f, g), None
 
     B, N, M = cost.shape
@@ -88,8 +91,16 @@ def sinkhorn_emd(y_pred: Array, y: Array, y_mask: Array | None = None,
     log_b = masked_log_marginals(y_mask, M, B)
 
     c0 = jax.lax.stop_gradient(cost)
-    # normalize the scale so eps is data-independent (relative entropy)
-    scale = jnp.maximum(c0.mean(), 1e-8)
+    # normalize the scale so eps is data-independent (relative entropy).
+    # Valid entries only: the 1e6 mask fill would dominate the mean and
+    # flatten (g - C)/eps into a near-uniform transport plan
+    valid = jnp.ones_like(c0, dtype=bool)
+    if y_mask is not None:
+        valid = valid & y_mask[:, None, :]
+    if x_mask is not None:
+        valid = valid & x_mask[:, :, None]
+    scale = jnp.maximum(
+        jnp.where(valid, c0, 0.0).sum() / jnp.maximum(valid.sum(), 1), 1e-8)
     f, g = log_sinkhorn_potentials(c0 / scale, log_a, log_b, eps, iters)
     P = jax.lax.stop_gradient(
         transport_plan(c0 / scale, log_a, log_b, f, g, eps))

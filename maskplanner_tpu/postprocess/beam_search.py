@@ -85,10 +85,16 @@ class Beamsearch:
         self.mask[self.mask == 0] = 1e10
 
     def sort_best(self):
+        # reference parity (nar_beam_search.py:116-119): sorts along
+        # axis 0 — the beam axis in the upstream graph-convnet-tsp code
+        # this class descends from
         order = np.argsort(-self.scores, axis=0)
         return np.take_along_axis(self.scores, order, axis=0), order
 
     def get_best(self):
+        # reference parity (nar_beam_search.py:121-125): the reference
+        # itself returns scores[1], ids[1] (second-ranked row) — kept
+        # verbatim; the module is not called from any released path
         scores, ids = self.sort_best()
         return scores[1], ids[1]
 

@@ -22,7 +22,12 @@ def _endpoint_features(traj: np.ndarray, outdim: int):
     utils/cluster.py:41-44)."""
     starts = traj[:, :outdim]
     ends = traj[:, -outdim:]
-    vel_start = VEL_WEIGHT * (traj[:, outdim : outdim + 3] - traj[:, :3])
+    if traj.shape[1] >= outdim + 3:
+        vel_start = VEL_WEIGHT * (traj[:, outdim : outdim + 3] - traj[:, :3])
+    else:
+        # λ=1 rows are single poses — no second pose to infer a velocity
+        # from; endpoint distances alone drive the ordering
+        vel_start = np.zeros((traj.shape[0], 3), traj.dtype)
     starts = np.concatenate([starts, vel_start], axis=-1)
     ends = np.concatenate([ends, vel_start], axis=-1)
     return starts, ends

@@ -160,6 +160,9 @@ def make_gan_train_step(model, handler: LossHandler, config, adv):
                 **lb)
             return total, (terms, mutated["batch_stats"], lb)
 
+        pre_step = state.step  # apply_gradients increments step; gate on
+        # the pre-update counter so the critic trains on the very first
+        # batch like the reference (which updates D inside the loss call)
         (loss, (terms, new_bs, lb)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
@@ -176,7 +179,7 @@ def make_gan_train_step(model, handler: LossHandler, config, adv):
             return ds, jnp.float32(0.0)
 
         d_state, d_loss = jax.lax.cond(
-            state.step % adv.train_freq == 0, do_update, skip, d_state)
+            pre_step % adv.train_freq == 0, do_update, skip, d_state)
         terms = dict(terms)
         terms["d_internal"] = d_loss
         return state, d_state, loss, terms

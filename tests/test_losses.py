@@ -289,3 +289,65 @@ class TestMetricsGuards:
         assert set(out) == {"v_measure", "adjusted_rand_score",
                             "avg_num_of_outliers"}
         assert all(np.isfinite(v) for v in out.values())
+
+
+class TestReviewRegressions:
+    def test_sinkhorn_padded_identical_sets_near_zero(self, rng):
+        """The cost-normalization scale must exclude the 1e6 mask fill:
+        identical pred/GT sets with 30% padding must give ~0 EMD (a
+        mask-contaminated scale flattened the plan to near-uniform)."""
+        from maskplanner_tpu.ops.sinkhorn import sinkhorn_emd
+
+        B, N, D = 2, 20, 3
+        y_np = rng.normal(size=(B, N, D)).astype(np.float32)
+        mask = np.ones((B, N), bool)
+        mask[:, 14:] = False
+        y_np[:, 14:] = -100.0
+        y_pred = jnp.asarray(np.where(mask[..., None], y_np, 0.0)[:, :14])
+        # pred rows = the 14 valid GT rows (permuted); loss must be ~0
+        perm = rng.permutation(14)
+        y_pred = y_pred[:, perm]
+        # pad pred up to >= valid count requirement
+        soft = float(sinkhorn_emd(y_pred, jnp.asarray(y_np),
+                                  y_mask=jnp.asarray(mask),
+                                  eps=0.002, iters=300))
+        spread = float(np.var(y_np[:, :14]))
+        assert soft < 0.05 * spread, (soft, spread)
+
+    def test_concat_single_pose_rows(self):
+        """λ=1 configs produce single-pose rows; segment concatenation
+        must order them without inferred velocities (regression: empty
+        velocity slice crashed with a broadcast error)."""
+        from maskplanner_tpu.postprocess.concat import concat_segments_of_stroke
+
+        t = np.linspace(0, 1, 7)[:, None]
+        traj = np.concatenate(
+            [t, np.zeros((7, 2)), np.tile([0, 0, 1.0], (7, 1))], axis=1)
+        order = np.random.default_rng(0).permutation(7)
+        cfg = {"extra_data": ["orientnorm"], "lambda_points": 1}
+        out = concat_segments_of_stroke(traj[order].astype(np.float32),
+                                        None, cfg)
+        xs = out[:, 0]
+        assert (np.diff(xs) > 0).all() or (np.diff(xs) < 0).all(), xs
+
+    def test_pad_vectors_truncates_overlong_strokes(self):
+        from maskplanner_tpu.data.extras import pad_vectors_per_stroke
+
+        strokes = [np.ones((10, 6), np.float32), np.ones((3, 6), np.float32)]
+        out, mask = pad_vectors_per_stroke(strokes, 4, max_len=5)
+        assert out.shape == (4, 5, 6)
+        assert mask.tolist() == [True, True, False, False]
+        np.testing.assert_array_equal(out[0], np.ones((5, 6)))
+
+    def test_fps_masked_start_respects_mask(self, rng):
+        """FPS with a validity mask must not select an invalid first
+        sample even when the start index is invalid."""
+        from maskplanner_tpu.ops.sampling import farthest_point_sample
+
+        pts = rng.normal(size=(2, 32, 3)).astype(np.float32)
+        mask = np.ones((2, 32), bool)
+        mask[:, 0] = False   # default start index is invalid
+        mask[:, 20:] = False
+        idx = np.asarray(farthest_point_sample(
+            jnp.asarray(pts), 8, mask=jnp.asarray(mask)))
+        assert (idx >= 1).all() and (idx < 20).all(), idx
