@@ -15,6 +15,22 @@ import jax.numpy as jnp
 from scipy.optimize import linear_sum_assignment
 
 from ..ops.chamfer import chamfer_distance
+from . import native
+
+
+def _lap_pairs(cost: np.ndarray):
+    """(row_idx, col_idx) of the optimal assignment — native C++ JV when
+    available (native/ocmg_native.cpp), scipy otherwise."""
+    n, m = cost.shape
+    if n >= m:
+        row4col = native.solve_lap(cost)
+        if row4col is not None:
+            return row4col, np.arange(m)
+    else:
+        col4row = native.solve_lap(cost.T)
+        if col4row is not None:
+            return np.arange(n), col4row
+    return linear_sum_assignment(cost)
 
 
 def permute_and_align_stroke_ids_for_visualization(
@@ -45,7 +61,7 @@ def permute_and_align_stroke_ids_for_visualization(
         for i, p in enumerate(p_uniq):
             for j, g in enumerate(g_uniq):
                 overlap[i, j] = np.sum((pred_ids == p) & (target_ids == g))
-        ri, ci = linear_sum_assignment(-overlap)
+        ri, ci = _lap_pairs(-overlap)
         mapping = {p_uniq[i]: g_uniq[j] for i, j in zip(ri, ci)}
         next_id = (max(g_uniq) + 1) if g_uniq else 0
         for p in p_uniq:

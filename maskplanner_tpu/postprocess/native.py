@@ -111,12 +111,18 @@ def filter_near_duplicates(rows: np.ndarray, threshold: float,
 
 
 def solve_lap(cost: np.ndarray) -> np.ndarray | None:
-    """JV LAP: returns row4col (n_cols,) or None if unavailable."""
+    """JV LAP: returns row4col (n_cols,) or None if unavailable.
+
+    Requires n_rows >= n_cols (the C++ kernel pads rows, not columns);
+    returns None otherwise so callers fall back to scipy.
+    """
     lib = _load()
     if lib is None:
         return None
     cost = np.ascontiguousarray(cost, dtype=np.float64)
     n_rows, n_cols = cost.shape
+    if n_rows < n_cols:
+        return None
     out = np.zeros(n_cols, dtype=np.int32)
     lib.solve_lap(cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                   n_rows, n_cols,

@@ -25,13 +25,25 @@ def profile_trace(log_dir: str | None, enabled: bool = False):
 
     trace_dir = os.path.join(log_dir, "profile")
     os.makedirs(trace_dir, exist_ok=True)
+    # Start/stop guarded separately so a profiler failure never kills
+    # training AND a training exception propagates untouched (a second
+    # yield in an except branch would turn it into contextlib's
+    # "generator didn't stop after throw()" RuntimeError).
+    started = False
     try:
-        with jax.profiler.trace(trace_dir):
-            yield
-        print(f"profiler trace written to {trace_dir}")
-    except Exception as exc:  # profiling must never kill training
+        jax.profiler.start_trace(trace_dir)
+        started = True
+    except Exception as exc:
         print(f"profiler unavailable: {exc}")
+    try:
         yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {trace_dir}")
+            except Exception as exc:
+                print(f"profiler trace not written: {exc}")
 
 
 class StepTimer:

@@ -68,8 +68,13 @@ def main():
     for path in files:
         dump = np.load(path, allow_pickle=True).item()
         traj_pred = dump["traj_pred"]
-        ids_pred = process_pred_stroke_masks_to_stroke_ids(
-            dump["pred_stroke_masks"], dump["stroke_masks_scores"])
+        if dump.get("pred_stroke_masks") is not None:
+            ids_pred = process_pred_stroke_masks_to_stroke_ids(
+                dump["pred_stroke_masks"], dump["stroke_masks_scores"])
+        else:
+            # backbones without a stroke-mask head (segmentWise/pointWise
+            # baselines etc.): render every segment under one stroke id
+            ids_pred = np.zeros(traj_pred.shape[:2], np.int64)
 
         if args.align_stroke_ids:
             ids_pred = permute_and_align_stroke_ids_for_visualization(

@@ -38,9 +38,16 @@ def get_thicknesses_values_per_face(path: str) -> np.ndarray:
 
 
 def coverage_for_pair(gt_faces: np.ndarray, pred_faces: np.ndarray,
-                      percentile: int) -> float:
+                      percentile: int,
+                      threshold: float | None = None) -> float:
+    """Pass the precomputed GT threshold from the caller to avoid
+    re-sorting per prediction run."""
     nonzero = ~np.isclose(gt_faces, 0.0)
-    threshold = np.percentile(gt_faces[nonzero], percentile)
+    if not nonzero.any():
+        raise ValueError("GT thickness file has no painted faces "
+                         "(all-zero); coverage is undefined")
+    if threshold is None:
+        threshold = np.percentile(gt_faces[nonzero], percentile)
     covered = nonzero & (gt_faces >= threshold)
     n_gt = int(covered.sum())
     n_pred = int((pred_faces[covered] >= threshold).sum())
@@ -61,6 +68,7 @@ def main():
             os.path.join(args.gt_run, item))
         assert np.all(gt_faces >= 0.0)
         nonzero = ~np.isclose(gt_faces, 0.0)
+        assert nonzero.any(), f"{item}: all-zero GT thickness"
         threshold = np.percentile(gt_faces[nonzero], percentile)
         print(f"\n--- Mesh: {item} | faces: {len(gt_faces)} | "
               f"zero-thickness: {int((~nonzero).sum())} | "
@@ -69,7 +77,8 @@ def main():
             pred_path = os.path.join(run, item)
             assert os.path.isfile(pred_path), f"missing {pred_path}"
             pred_faces = get_thicknesses_values_per_face(pred_path)
-            cov = coverage_for_pair(gt_faces, pred_faces, percentile)
+            cov = coverage_for_pair(gt_faces, pred_faces, percentile,
+                                    threshold=threshold)
             print(f"> run {i} ---> coverage: {cov * 100:.2f}%")
             coverages[i].append(cov)
 

@@ -227,18 +227,13 @@ class TestPreemption:
         # resume to completion with a short remaining budget
         import train_maskplanner
 
-        cfg = load_args(argv=argv[:-1] + [f"output_dir={tmp_path}"])
+        # resume=<run_dir> targets the preempted run directly (the real
+        # user flow; a bare resume=true would land in a fresh
+        # timestamped run dir)
+        cfg = load_args(argv=argv[:-1] + [f"output_dir={tmp_path}",
+                                          f"resume={run_dir}"])
         cfg["epochs"] = n_before + 2
-        cfg["resume"] = True
-        # resume must target the same run dir (patch the driver's own
-        # binding — it imports get_run_name by name)
-        orig = train_maskplanner.get_run_name
-        try:
-            train_maskplanner.get_run_name = (
-                lambda c: os.path.basename(run_dir))
-            run_dir2, state = train_maskplanner.main(cfg)
-        finally:
-            train_maskplanner.get_run_name = orig
+        run_dir2, state = train_maskplanner.main(cfg)
         assert run_dir2 == run_dir
         logs = [json.loads(l) for l in
                 open(os.path.join(run_dir, "logs.jsonl"))]

@@ -51,8 +51,23 @@ def main(config=None):
     config = config or load_args()
     rng = set_seed(config.get("seed"))
 
-    run_name = get_run_name(config)
-    run_dir = create_dirs(os.path.join(get_output_dir(config), run_name))
+    # resume=<run_dir> reuses an existing run directory (a bare
+    # resume=true would land in a fresh timestamped dir and silently
+    # restart from scratch — every invocation gets a new run name)
+    resume_arg = config.get("resume")
+    resume_dir = None
+    if isinstance(resume_arg, str) and resume_arg.lower() not in (
+            "true", "false", "1", "0"):
+        cand = [resume_arg, os.path.join(get_output_dir(config), resume_arg)]
+        resume_dir = next((c for c in cand if os.path.isdir(c)), None)
+        if resume_dir is None:
+            raise ValueError(f"resume={resume_arg!r}: no such run directory")
+    if resume_dir is not None:
+        run_dir = resume_dir
+        config["resume"] = True
+    else:
+        run_name = get_run_name(config)
+        run_dir = create_dirs(os.path.join(get_output_dir(config), run_name))
     save_config(config, run_dir)
     print(f"Run dir: {run_dir}")
 
@@ -72,7 +87,12 @@ def main(config=None):
                            seed=int(config.get("seed") or 0))
     te_loader = DataLoader(te_dataset, min(batch_size, len(te_dataset)),
                            shuffle=False, drop_last=False)
-    steps_per_epoch = max(1, len(tr_loader))
+    if len(tr_loader) == 0:
+        raise ValueError(
+            f"training split ({len(tr_dataset)} samples) is smaller than "
+            f"batch_size={batch_size} (drop_last loader yields no batches); "
+            f"lower batch_size or raise dataset_size")
+    steps_per_epoch = len(tr_loader)
 
     # ---- mesh + model -----------------------------------------------------
     mesh = make_mesh()
@@ -138,6 +158,14 @@ def main(config=None):
         if d_state is not None:
             d_state = checkpoints.load_aux_state(run_dir, "last_checkpoint",
                                                  d_state)
+        # fast-forward the loss-weight schedule: PSACD steps are
+        # cumulative and delayed activations are epoch-gated, so the
+        # weights at start_epoch must reflect every earlier epoch
+        for _e in range(start_epoch):
+            if psacd is not None and psacd.is_time_to_step(
+                    _e, int(config["epochs"])):
+                weights = psacd.step_loss_weights(weights)
+            weights = apply_delayed_activations(config, weights, _e)
         print(f"Resumed from epoch {start_epoch}")
 
     epochs = int(config["epochs"])
@@ -256,8 +284,11 @@ def main(config=None):
             if not config.get("no_save"):
                 checkpoints.save_checkpoint(run_dir, "last_checkpoint", state,
                                             epoch + 1, epoch_loss)
+                if d_state is not None:
+                    checkpoints.save_aux_state(run_dir, "last_checkpoint",
+                                               d_state)
                 print(f"Preempted at epoch {epoch + 1}; checkpoint saved "
-                      f"(resume with resume=true)")
+                      f"(resume with resume={run_dir})")
             break
 
     tot_train = time.time() - t_train0
@@ -301,7 +332,8 @@ def main(config=None):
                     [_sys.executable,
                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "render_results.py"),
-                     "--run", run_dir, "--max_samples", "4"],
+                     "--run", run_dir, "--max_samples", "4",
+                     "--model", str(eval_ckpt)],
                     check=False, timeout=600)
             except Exception as e:  # rendering must never fail the run
                 print(f"(rendering skipped: {e})")
