@@ -192,3 +192,27 @@ class TestDeviceDatasetEpoch:
         losses = [l["train_loss"] for l in logs if "train_loss" in l]
         assert len(losses) == 4 and all(np.isfinite(losses))
         assert int(state.step) == 8  # 4 epochs x 2 steps, all executed
+
+
+class TestDeviceDatasetEligibility:
+    def test_eligibility_rules(self, tmp_path):
+        from maskplanner_tpu.data.device_dataset import device_dataset_eligible
+
+        cfg = tiny_config(tmp_path)
+        assert device_dataset_eligible(cfg, n_devices=1)
+        assert not device_dataset_eligible(cfg, n_devices=8)  # DP shards via host
+        cfg2 = tiny_config(tmp_path, augmentations="[pc_online_subsampling]")
+        assert not device_dataset_eligible(cfg2, n_devices=1)
+        cfg3 = tiny_config(tmp_path)
+        cfg3["loss"] = ["chamfer", "wdiscriminator"]
+        assert not device_dataset_eligible(cfg3, n_devices=1)
+        cfg4 = tiny_config(tmp_path, device_dataset="false")
+        assert not device_dataset_eligible(cfg4, n_devices=1)
+
+    def test_resume_rejects_missing_dir(self, tmp_path):
+        import pytest
+        import train_maskplanner
+
+        cfg = tiny_config(tmp_path, resume="no/such/run")
+        with pytest.raises(ValueError, match="no such run directory"):
+            train_maskplanner.main(cfg)
