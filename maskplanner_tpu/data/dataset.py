@@ -97,7 +97,15 @@ class PaintDataset:
 
         # train_portion few-shot subsetting (reference paintnet_ODv1.py:172-177)
         portion = config.get("train_portion")
-        if split == "train" and portion:
+        if split == "train" and portion is not None:
+            # the reference guards on `is not None` and then asserts the
+            # subset is non-empty (paintnet_ODv1.py:172-177): fewshot.yaml
+            # ships train_portion: 0.0 as a placeholder the user MUST
+            # override on the CLI — silently training on the full set
+            # would defeat the few-shot experiment
+            assert float(portion) > 0, (
+                f"train_portion={portion}: the fewshot config requires an "
+                f"explicit CLI value, e.g. train_portion=0.1")
             self._lengths = [max(1, int(l * float(portion)))
                              for l in self._lengths]
 

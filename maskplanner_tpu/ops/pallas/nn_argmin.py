@@ -94,4 +94,12 @@ def nn_argmin_pallas(x: jax.Array, y: jax.Array,
         out_specs=pl.BlockSpec((_BT, tile_s), lambda b, s: (b, s),
                                memory_space=pltpu.VMEM),
     )(xf, yt, add_mask)
-    return out[:B, :P1]
+    out = out[:B, :P1]
+    if y_mask is not None:
+        # XLA-fallback parity on degenerate rows: with NO valid column all
+        # distances tie at +BIG and Mosaic's argmin does not break ties to
+        # the first index (observed: returns the last tile's lane); pin
+        # such rows to index 0 like jnp.argmin
+        any_valid = y_mask.any(axis=-1, keepdims=True)
+        out = jnp.where(any_valid, out, 0)
+    return out

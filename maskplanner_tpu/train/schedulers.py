@@ -26,9 +26,19 @@ def lr_schedule(config, steps_per_epoch: int):
     step_after_epoch = sched.get("step_after_epoch")
     epochs = int(config["epochs"])
 
-    assert config.get("steplr") is None, (
-        "`steplr` is deprecated; use lr_sched.step_size"
-    )
+    # `steplr` is deprecated in the reference, whose get_lr_scheduler
+    # hard-asserts it is None (utils/training.py:80) even though its own
+    # ConvSpeed_trainFor_* configs still set it — making those 4 shipped
+    # configs unusable upstream. Here the legacy key is translated to
+    # lr_sched.step_size instead, so the same config files work.
+    if (config.get("steplr") is not None and step_size is None
+            and step_sizes is None and step_n_times is None):
+        print(f"WARNING: `steplr` is deprecated; treating as "
+              f"lr_sched.step_size={config['steplr']}")
+        step_size = config["steplr"]
+    elif config.get("steplr") is not None:
+        print("WARNING: `steplr` is deprecated and an lr_sched.* schedule "
+              "is configured; ignoring steplr")
     set_count = sum(x is not None for x in (step_size, step_sizes, step_n_times))
     assert set_count <= 1, "configure at most one of step_size/step_sizes/step_n_times"
 

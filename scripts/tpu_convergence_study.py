@@ -53,7 +53,7 @@ def main():
     run_dir, _ = train_maskplanner.main(cfg)
 
     logs = [json.loads(l) for l in open(os.path.join(run_dir, "logs.jsonl"))]
-    evals = [l for l in logs if l.get("eval_loss")]
+    evals = [l for l in logs if "eval_loss" in l]
     for l in evals:
         print(json.dumps({k: l.get(k) for k in (
             "epoch", "train_loss", "eval_loss",

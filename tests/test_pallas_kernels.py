@@ -54,6 +54,19 @@ class TestNNArgminKernel:
         got = np.asarray(nn_argmin_pallas(x, y, mask))
         np.testing.assert_array_equal(ref, got)
 
+    def test_all_invalid_rows_match_xla(self, rng):
+        """A sample whose y_mask is entirely False must pin indices to 0
+        like jnp.argmin over all-tied +BIG columns (Mosaic's argmin does
+        not tie-break to the first index)."""
+        from maskplanner_tpu.ops.pallas.nn_argmin import nn_argmin_pallas
+
+        x = jnp.asarray(rng.normal(size=(2, 16, 3)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(2, 20, 3)).astype(np.float32))
+        mask = np.ones((2, 20), bool)
+        mask[1] = False
+        got = np.asarray(nn_argmin_pallas(x, y, jnp.asarray(mask)))
+        assert (got[1] == 0).all()
+
     def test_chamfer_pallas_path_matches_xla(self, rng, monkeypatch):
         """Full chamfer_distance through the fused path == XLA path,
         values and gradients."""
