@@ -341,12 +341,13 @@ def downsample_strokes(traj, stroke_ids, n_points):
 
 
 def mean_knn_distance(points, k=1):
-    """Mean distance to the k-th nearest neighbour
-    (reference utils/pointcloud.py:586-623)."""
+    """Mean over points of each point's mean distance to its k nearest
+    neighbours (reference utils/pointcloud.py:586-623: top-(k+1) incl.
+    self, drop self, clamp 1e-12, mean over the k NNs, mean over points)."""
     d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
     np.fill_diagonal(d2, np.inf)
-    kth = np.sort(d2, axis=1)[:, k - 1]
-    return float(np.sqrt(kth).mean())
+    knn = np.sqrt(np.sort(d2, axis=1)[:, :k])
+    return float(np.maximum(knn, 1e-12).mean())
 
 
 def center_traj(traj, centroid):

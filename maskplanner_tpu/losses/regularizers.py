@@ -22,8 +22,10 @@ def _knn_dists(points: Array, k: int):
 
 
 def mean_knn_distance(points: Array, k: int, mask: Array | None = None) -> Array:
-    """Per-batch mean distance to the k-th NN (reference
-    utils/pointcloud.py:586-623, with y_lengths masking)."""
+    """Per-batch mean of each point's mean distance to its k nearest
+    neighbours (reference utils/pointcloud.py:586-623: top-(k+1) incl.
+    self, drop self, clamp 1e-12, mean over the k NNs, then a
+    y_lengths-masked mean over points)."""
     d = euclid_cdist(points, points)
     big = 1e10
     eye = jnp.eye(points.shape[1], dtype=bool)[None]
@@ -31,10 +33,10 @@ def mean_knn_distance(points: Array, k: int, mask: Array | None = None) -> Array
     if mask is not None:
         d = jnp.where(mask[:, None, :], d, big)
     neg, _ = jax.lax.top_k(-d, k)
-    kth = -neg[..., k - 1]  # (B, N)
+    per_point = jnp.maximum(-neg, 1e-12).mean(axis=-1)  # (B, N)
     if mask is not None:
-        return masked_mean(kth, mask, axis=-1)
-    return kth.mean(axis=-1)
+        return masked_mean(per_point, mask, axis=-1)
+    return per_point.mean(axis=-1)
 
 
 def repulsion(y_pred, y, outdim, knn_repulsion=1, rep_target=None,

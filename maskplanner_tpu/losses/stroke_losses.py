@@ -162,15 +162,15 @@ def emd(y_pred, y, y_mask=None, **_):
         from ..ops.sinkhorn import sinkhorn_emd
 
         return sinkhorn_emd(y_pred, y, y_mask=y_mask)
-    # hungarian() assigns the best n_valid rows to the valid columns and
-    # assumes n_rows >= n_valid (its docstring contract); fewer pred rows
-    # than valid GT entries would silently match fake padded rows
-    assert y_pred.shape[1] >= y.shape[1], (
-        f"emd: predictions ({y_pred.shape[1]} rows) must be >= GT set "
-        f"size ({y.shape[1]})")
     cost = euclid_cdist(y_pred, y)
     row4col, matched = hungarian(cost, y_mask)
-    chosen = jnp.take_along_axis(y_pred, row4col[..., None], axis=1)
+    # with fewer predictions than valid GT entries, hungarian()'s square
+    # padding assigns fake rows (index >= n_pred) to the excess columns —
+    # exactly the reference matcher's min(n_pred, n_gt)-pair behavior
+    # (models/hungarianMatcher.py:17-21); drop those columns from the MSE
+    matched = matched & (row4col < y_pred.shape[1])
+    safe_rows = jnp.minimum(row4col, y_pred.shape[1] - 1)
+    chosen = jnp.take_along_axis(y_pred, safe_rows[..., None], axis=1)
     per_col = ((chosen - jnp.where(y_mask[..., None], y, 0.0)) ** 2).sum(-1)
     total = jnp.maximum(matched.sum(), 1)
     return jnp.where(matched, per_col, 0.0).sum() / total

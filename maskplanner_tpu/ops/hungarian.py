@@ -137,10 +137,15 @@ def hungarian(
                  if col_mask is not None else None)
 
     # batched square padding: fake rows/columns cost the same `big` in
-    # every position, so the real columns' optimal assignment is unchanged
+    # every position, so the real columns' optimal assignment is unchanged.
+    # `big` must exceed n * max|cost| — with fake *rows* present
+    # (n_rows < n_cols) the solver may otherwise trade one fewer real
+    # pairing (saving `big`) against cheaper real pairs (costing up to
+    # n * max|cost|), undershooting scipy's always-maximum-cardinality
+    # rectangular matching.
     big = (
         jnp.max(jnp.abs(jnp.where(jnp.isfinite(flat_cost), flat_cost, 0.0)),
-                axis=(-1, -2), keepdims=True) * 2.0 + 1.0
+                axis=(-1, -2), keepdims=True) * (2.0 * n) + 1.0
     )  # (Bf, 1, 1)
     sq = jnp.broadcast_to(big, (Bf, n, n))
     real = flat_cost

@@ -197,6 +197,26 @@ def install_stubs():
     torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
     torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
 
+    # Redirect explicit .to('cuda') moves (loss_handler.py:629) and
+    # .get_device() round-trips (loss_handler.py:929-930) to CPU.
+    def _cpu_device(a):
+        if isinstance(a, str) and a.startswith("cuda"):
+            return "cpu"
+        if isinstance(a, torch.device) and a.type == "cuda":
+            return torch.device("cpu")
+        return a
+
+    _orig_to = torch.Tensor.to
+
+    def _to(self, *args, **kwargs):
+        args = tuple(_cpu_device(a) for a in args)
+        if "device" in kwargs:
+            kwargs["device"] = _cpu_device(kwargs["device"])
+        return _orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = _to  # type: ignore[assignment]
+    torch.Tensor.get_device = lambda self: "cpu"  # type: ignore[assignment]
+
     stubs = {}
     stubs.update(_make_pytorch3d_stub(torch))
     stubs.update(_make_omegaconf_stub())
