@@ -69,6 +69,8 @@ def concat_segments_of_stroke(traj: np.ndarray, stroke_ids, config,
                 print(f"stroke concat dropped {n - len(path)}/{n} segments")
             return traj[path].copy()
 
+    from networkx.algorithms.tree import branchings
+
     G = nx.DiGraph()
     G.add_nodes_from(range(n))
     for i in range(n):
@@ -76,36 +78,15 @@ def concat_segments_of_stroke(traj: np.ndarray, stroke_ids, config,
             if i != j and d2[i, j] < RADIUS:
                 G.add_edge(i, int(j), weight=float(d2[i, j]))
 
-    try:
-        arb = nx.minimum_spanning_arborescence(G, preserve_attrs=False)
-    except nx.NetworkXException:
-        # graph not spanning-connected: fall back to a greedy
-        # nearest-start chain from the segment with no cheap predecessor
-        order = _greedy_chain(d2)
-        return traj[order].copy()
-
+    # minimal_branching == the reference's removed
+    # Edmonds.find_optimum(kind='min', style='spanning arborescence')
+    # (utils/cluster.py:83-84): every node takes its cheapest in-edge
+    # regardless of sign, spanning where possible and a forest of
+    # arborescences on disconnected graphs.
+    arb = branchings.minimal_branching(G)
     for _, _, attrs in arb.edges(data=True):
         attrs.pop("weight", None)
     path = nx.dag_longest_path(arb)
     if verbose and len(path) != n:
         print(f"stroke concat dropped {n - len(path)}/{n} segments")
     return traj[list(path)].copy()
-
-
-def _greedy_chain(d2: np.ndarray) -> list[int]:
-    """Fallback ordering: start from the globally cheapest edge's source,
-    repeatedly hop to the nearest unvisited start."""
-    n = d2.shape[0]
-    # start = segment that is nobody's cheap successor
-    incoming = d2.min(axis=0)
-    current = int(np.argmax(incoming))
-    visited = [current]
-    while len(visited) < n:
-        row = d2[current].copy()
-        row[visited] = np.inf
-        nxt = int(np.argmin(row))
-        if not np.isfinite(row[nxt]):
-            break
-        visited.append(nxt)
-        current = nxt
-    return visited

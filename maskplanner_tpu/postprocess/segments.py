@@ -108,18 +108,22 @@ def resample_at_equal_spaced_points_except_last(stroke, distance):
     if N < 3:
         return stroke.copy()
     curve = Akima1DInterpolator(np.arange(N), stroke)
-    n_steps = int(np.floor((N - 1 + 0.0005) / 0.1 + 1e-9))
-    ts = np.minimum(np.arange(1, n_steps + 1) * 0.1, N - 1)
-    pts = np.concatenate([stroke[:1], curve(ts)], axis=0)
+    # replicate the reference's accumulated-float t grid bit for bit
+    # (postprocessing.py:413-429: curr_t += 0.1 repeatedly, compared
+    # against times[-1] + 0.0005) — a closed-form grid can differ by one
+    # razor-edge step and desynchronize the greedy walk
+    ts, t = [], 0.1
+    while t <= N - 1 + 0.0005:
+        ts.append(t)
+        t += 0.1
+    pts = np.concatenate([stroke[:1], curve(np.asarray(ts))], axis=0)
 
     keep = native.greedy_spaced_select(pts, distance)
     if keep is None:  # pure-python fallback (same walk, precomputed points)
         keep = [0]
         last = pts[0]
-        d2 = distance * distance
         for i in range(1, pts.shape[0]):
-            diff = pts[i] - last
-            if float(diff @ diff) > d2:
+            if float(np.linalg.norm(pts[i] - last)) > distance:
                 keep.append(i)
                 last = pts[i]
         keep = np.asarray(keep)

@@ -8,7 +8,18 @@ import numpy as np
 
 
 def _sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    # overflow-stable: exp only ever sees non-positive arguments.
+    # Input precision is preserved (float32 in the drivers) so saturation
+    # ties resolve exactly like the reference's torch float32 sigmoid.
+    x = np.asarray(x)
+    if x.dtype.kind != "f":
+        x = x.astype(np.float64)
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
 
 
 def process_pred_stroke_masks_to_stroke_ids(
@@ -26,8 +37,8 @@ def process_pred_stroke_masks_to_stroke_ids(
     Returns (B, out_segments) float array of contiguous stroke ids.
     """
     assert pred_stroke_masks.ndim == 3 and confidence_scores.ndim == 2
-    probs = _sigmoid(np.asarray(pred_stroke_masks, dtype=np.float64))
-    conf = _sigmoid(np.asarray(confidence_scores, dtype=np.float64))
+    probs = _sigmoid(np.asarray(pred_stroke_masks))
+    conf = _sigmoid(np.asarray(confidence_scores))
     probs = np.where((conf >= confidence_threshold)[:, :, None], probs, 0.0)
 
     B, _, out_segments = probs.shape

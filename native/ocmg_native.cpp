@@ -168,7 +168,6 @@ extern "C" {
 int greedy_spaced_select(const double* pts, int n, int d, double dist,
                          int* out_idx) {
   if (n <= 0) return 0;
-  double d2 = dist * dist;
   int count = 0;
   out_idx[count++] = 0;
   const double* last = pts;
@@ -179,7 +178,9 @@ int greedy_spaced_select(const double* pts, int n, int d, double dist,
       double diff = p[k] - last[k];
       acc += diff * diff;
     }
-    if (acc > d2) {
+    // sqrt-then-compare matches the reference's np.linalg.norm(...) > dist
+    // (postprocessing.py:421-426) bit for bit on razor-edge distances
+    if (std::sqrt(acc) > dist) {
       out_idx[count++] = i;
       last = p;
     }
