@@ -69,6 +69,26 @@ class MetricsHandler:
         self.renorm = renormalize_output_config or {}
         self.renormalize_output = bool(self.renorm.get("active"))
 
+        # precompute each getter's required parameters once (per-batch
+        # inspect.signature in compute() is measurable host overhead)
+        import inspect
+
+        self._required: Dict[str, list] = {}
+        for m in self.metrics:
+            fn = getattr(self, f"get_{m}")
+            self._required[m] = [
+                p.name for p in inspect.signature(fn).parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+            ]
+        # stroke_ids_pred is derivable from the mask heads, but the
+        # derivation is a host-side postprocess per eval batch — only pay
+        # for it when an enabled metric actually consumes it
+        # (stroke_masks_metrics recomputes ids internally with its own
+        # threshold, so it does NOT count)
+        self._needs_derived_ids = any(
+            "stroke_ids_pred" in req for req in self._required.values())
+
     # -- bookkeeping (reference metrics_handler.py:129-140) ----------------
     def output_names(self):
         names = []
@@ -81,11 +101,10 @@ class MetricsHandler:
 
     # -- computation --------------------------------------------------------
     def compute(self, **kw) -> Dict[str, float]:
-        import inspect
-
         # derivable input: per-segment stroke ids from the mask heads
         # (clustering_metrics needs them; the eval loop provides masks)
-        if (kw.get("stroke_ids_pred") is None
+        if (self._needs_derived_ids
+                and kw.get("stroke_ids_pred") is None
                 and kw.get("pred_stroke_masks") is not None
                 and kw.get("mask_scores") is not None):
             kw["stroke_ids_pred"] = process_pred_stroke_masks_to_stroke_ids(
@@ -95,12 +114,7 @@ class MetricsHandler:
         out: Dict[str, float] = {}
         for m in self.metrics:
             fn = getattr(self, f"get_{m}")
-            required = [
-                p.name for p in inspect.signature(fn).parameters.values()
-                if p.default is inspect.Parameter.empty
-                and p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
-            ]
-            missing = [r for r in required
+            missing = [r for r in self._required[m]
                        if kw.get(r) is None]
             if missing:
                 raise ValueError(

@@ -22,7 +22,7 @@ import jax
 
 from maskplanner_tpu.utils import set_seed, get_run_name, create_dirs
 from maskplanner_tpu.utils.args import load_args
-from maskplanner_tpu.utils.config import save_config
+from maskplanner_tpu.utils.config import load_config, save_config
 from maskplanner_tpu.utils.logging import Run
 from maskplanner_tpu.data.dataset import PaintDataset, DataLoader
 from maskplanner_tpu.models import get_model
@@ -64,11 +64,20 @@ def main(config=None):
             raise ValueError(f"resume={resume_arg!r}: no such run directory")
     if resume_dir is not None:
         run_dir = resume_dir
+        # restore the run's frozen config: a resume invocation that omits
+        # the original CLI overrides must not silently retrain (or rewrite
+        # the run record that test/render drivers later load) with
+        # different hyper-parameters; only run-control keys carry over
+        frozen = load_config(os.path.join(run_dir, "config.yaml"))
+        for key in ("wandb", "output_dir", "epochs"):
+            if key in config and config.get(key) != frozen.get(key):
+                frozen[key] = config[key]
+        config = frozen
         config["resume"] = True
     else:
         run_name = get_run_name(config)
         run_dir = create_dirs(os.path.join(get_output_dir(config), run_name))
-    save_config(config, run_dir)
+        save_config(config, run_dir)
     print(f"Run dir: {run_dir}")
 
     wandb_mode = "disabled" if (config.get("debug") or
