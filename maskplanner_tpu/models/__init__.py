@@ -168,6 +168,8 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
     # bf16 compute (params stay f32; BatchNorm/normalizations run f32):
     # halves MXU/HBM cost of the conv-MLP and head matmuls
     dtype = jnp.bfloat16 if config["model"].get("bf16") else jnp.float32
+    # encoder norm study knob (model.norm: batch | layer | none)
+    enc_norm = config["model"].get("norm") or "batch"
 
     if which == "pointnet2_strokemasks_retrocompatible":
         # the reference twin differs only in a layer name
@@ -188,6 +190,7 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
             mask_confidence_scores=True,
             segment_confidence_scores=bool(config.get("per_segment_confidence")),
             dtype=dtype,
+            encoder_norm=enc_norm,
         )
 
     if which == "pointnet2":
@@ -200,6 +203,7 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
             lambda_points=config["lambda_points"],
             hidden_size=hidden,
             dtype=dtype,
+            encoder_norm=enc_norm,
         )
 
     if which == "pointnet2_sops":
@@ -211,6 +215,7 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
             token_length=config.get("start_of_path_token_length", 1),
             hidden_size=hidden,
             sop_confidence_scores=bool(config.get("sop_confidence_scores")),
+            encoder_norm=enc_norm,
         )
 
     if which == "pointnet2_strokewise":
@@ -221,6 +226,7 @@ def get_model(config, which: str | None = None, io_type: str = "MaskPlanner"):
             outdim_orient=orient_outdim,
             weight_orient=config["weight_orient"],
             hidden_size=hidden,
+            encoder_norm=enc_norm,
         )
 
     if which == "pointnet":

@@ -60,11 +60,13 @@ class PointNet2StrokeMasks(nn.Module):
     mask_confidence_scores: bool = True
     segment_confidence_scores: bool = False
     dtype: jnp.dtype = jnp.float32
+    encoder_norm: str = "batch"
 
     @nn.compact
     def __call__(self, xyz, train: bool = False, fps_keys=None) -> MaskPlannerOutput:
         """xyz: (B, N, 3) channel-last point cloud."""
-        global_feat = PointNet2Encoder(dtype=self.dtype, name="encoder")(
+        global_feat = PointNet2Encoder(dtype=self.dtype, norm=self.encoder_norm,
+                                       name="encoder")(
             xyz, train=train, fps_keys=fps_keys
         )
 
@@ -126,10 +128,12 @@ class PointNet2Regressor(nn.Module):
     lambda_points: int = 1
     hidden_size: tuple[int, int] = (1024, 1024)
     dtype: jnp.dtype = jnp.float32
+    encoder_norm: str = "batch"
 
     @nn.compact
     def __call__(self, xyz, train: bool = False, fps_keys=None):
-        global_feat = PointNet2Encoder(dtype=self.dtype, name="encoder")(
+        global_feat = PointNet2Encoder(dtype=self.dtype, norm=self.encoder_norm,
+                                       name="encoder")(
             xyz, train=train, fps_keys=fps_keys
         )
         trunk = RegressionHead(self.hidden_size, dtype=self.dtype, name="head")(
@@ -162,10 +166,12 @@ class PointNet2SoPs(nn.Module):
     hidden_size: tuple[int, int] = (1024, 1024)
     sop_confidence_scores: bool = False
     dtype: jnp.dtype = jnp.float32
+    encoder_norm: str = "batch"
 
     @nn.compact
     def __call__(self, xyz, train: bool = False, fps_keys=None):
-        global_feat = PointNet2Encoder(dtype=self.dtype, name="encoder")(
+        global_feat = PointNet2Encoder(dtype=self.dtype, norm=self.encoder_norm,
+                                       name="encoder")(
             xyz, train=train, fps_keys=fps_keys
         )
         trunk = RegressionHead(self.hidden_size, dtype=self.dtype, name="head")(
@@ -205,10 +211,12 @@ class PointNet2StrokeWise(nn.Module):
     weight_orient: float = 1.0
     hidden_size: tuple[int, int] = (1024, 1024)
     dtype: jnp.dtype = jnp.float32
+    encoder_norm: str = "batch"
 
     @nn.compact
     def __call__(self, xyz, train: bool = False, fps_keys=None):
-        global_feat = PointNet2Encoder(dtype=self.dtype, name="encoder")(
+        global_feat = PointNet2Encoder(dtype=self.dtype, norm=self.encoder_norm,
+                                       name="encoder")(
             xyz, train=train, fps_keys=fps_keys
         )
         trunk = RegressionHead(self.hidden_size, dtype=self.dtype, name="head")(

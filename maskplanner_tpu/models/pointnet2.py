@@ -35,28 +35,44 @@ def _use_fused_sa() -> bool:
 
 
 class PointMLP(nn.Module):
-    """Shared per-point MLP: Dense -> BatchNorm -> ReLU stack.
+    """Shared per-point MLP: Dense -> norm -> ReLU stack.
 
     Equivalent to the reference's Conv2d(1x1)+BatchNorm2d+ReLU chains
     (models/pointnet2_utils.py:176-216). BatchNorm statistics are computed
     over all non-channel axes; under a sharded ``jit`` the batch axis is
     global, which gives cross-replica batch stats for free (no SyncBN
     machinery needed).
+
+    ``norm`` selects the normalization (TPU study, SURVEY §7 hard parts):
+    - "batch": reference-parity BatchNorm (cross-element stats — forces
+      the unfused training path: every layer's (B,S,K,C) activations take
+      extra HBM passes for the stats reductions).
+    - "layer": per-element LayerNorm over channels — stats are local to
+      each (b,s,k) element, so the whole level fuses into one kernel with
+      no cross-element reductions. Convergence parity is validated by
+      ``scripts/tpu_convergence_study.py --norm layer`` (docs/convergence.md).
+    - "none": no normalization (ablation).
     """
 
     channels: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool):
         for c in self.channels:
             x = nn.Dense(c, dtype=self.dtype)(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                axis=-1,
-                dtype=jnp.float32,
-            )(x)
+            if self.norm == "batch":
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    axis=-1,
+                    dtype=jnp.float32,
+                )(x)
+            elif self.norm == "layer":
+                x = nn.LayerNorm(dtype=jnp.float32)(x)
+            elif self.norm != "none":
+                raise ValueError(f"unknown norm: {self.norm!r}")
             x = nn.relu(x)
         return x
 
@@ -74,6 +90,7 @@ class SetAbstraction(nn.Module):
     mlp: Sequence[int]
     group_all: bool = False
     dtype: jnp.dtype = jnp.float32
+    norm: str = "batch"
 
     def _fused_inference(self, xyz, features, fps_key):
         """Whole-level fused Pallas path (eval only): ball query + gather +
@@ -110,7 +127,9 @@ class SetAbstraction(nn.Module):
         # kernel's serial per-tile MLP phases don't pipeline as well as
         # XLA's batched MLP over the grouped tensor.
         if (not train and not self.group_all and full_points is None
-                and features is not None and _use_fused_sa()):
+                and features is not None and self.norm == "batch"
+                and _use_fused_sa()):
+            # (BN-folding path; layer-norm levels fuse via the train kernel)
             return self._fused_inference(xyz, features, fps_key)
         if self.group_all:
             # single global group (models/pointnet2_utils.py:152-168)
@@ -151,7 +170,8 @@ class SetAbstraction(nn.Module):
                         [grouped, index_points(features, group_idx)], axis=-1
                     )
 
-        feat = PointMLP(self.mlp, dtype=self.dtype)(grouped, train=train)
+        feat = PointMLP(self.mlp, dtype=self.dtype,
+                        norm=self.norm)(grouped, train=train)
         new_features = jnp.max(feat, axis=-2)  # max over neighbourhood K
         return new_xyz, new_features
 
@@ -165,6 +185,7 @@ class FeaturePropagation(nn.Module):
 
     mlp: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, xyz1, xyz2, feat1, feat2, train: bool):
@@ -183,7 +204,8 @@ class FeaturePropagation(nn.Module):
             if feat1 is not None
             else interpolated
         )
-        return PointMLP(self.mlp, dtype=self.dtype)(x, train=train)
+        return PointMLP(self.mlp, dtype=self.dtype,
+                        norm=self.norm)(x, train=train)
 
 
 class PointNet2Encoder(nn.Module):
@@ -194,6 +216,7 @@ class PointNet2Encoder(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, xyz, train: bool, fps_keys=None):
@@ -201,11 +224,14 @@ class PointNet2Encoder(nn.Module):
         if fps_keys is not None:
             k1, k2 = fps_keys
         l1_xyz, l1_f = SetAbstraction(512, 0.2, 32, (64, 64, 128), dtype=self.dtype,
+                                      norm=self.norm,
                                       name="sa1")(xyz, None, train, fps_key=k1)
         l2_xyz, l2_f = SetAbstraction(128, 0.4, 64, (128, 128, 256), dtype=self.dtype,
+                                      norm=self.norm,
                                       name="sa2")(l1_xyz, l1_f, train, fps_key=k2)
         _, l3_f = SetAbstraction(None, None, None, (256, 512, 1024), group_all=True,
-                                 dtype=self.dtype, name="sa3")(l2_xyz, l2_f, train)
+                                 dtype=self.dtype, norm=self.norm,
+                                 name="sa3")(l2_xyz, l2_f, train)
         return l3_f[:, 0, :]  # (B, 1024)
 
 

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--bf16", action="store_true",
                     help="train with bf16 compute (params stay f32)")
+    ap.add_argument("--norm", default="batch",
+                    help="encoder normalization (batch | layer | none)")
     ap.add_argument("--category", default="cuboids_v2",
                     help="category config (cuboids_v2/windows_v2/...)")
     args = ap.parse_args()
@@ -49,7 +51,8 @@ def main():
         "dataset_size=64", "test_dataset_size=16", "batch_size=32",
         "eval_metrics=[pcd,stroke_masks_metrics]",
         "seed=7", "no_save=true", f"output_dir={out}",
-    ] + (["model.bf16=true"] if args.bf16 else []))
+    ] + (["model.bf16=true"] if args.bf16 else [])
+      + ([f"model.norm={args.norm}"] if args.norm != "batch" else []))
     run_dir, _ = train_maskplanner.main(cfg)
 
     logs = [json.loads(l) for l in open(os.path.join(run_dir, "logs.jsonl"))]
@@ -67,6 +70,7 @@ def main():
             if "point-wise chamfer distance" in l]
     summary = {
         "epochs": ep,
+        "norm": args.norm,
         "eval_points": len(evals),
         "first_pcd_e4": pcds[0] if pcds else None,
         "last_pcd_e4": pcds[-1] if pcds else None,

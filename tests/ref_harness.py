@@ -233,6 +233,25 @@ def install_stubs():
     _installed = True
 
 
+def import_reference_models():
+    """Import the reference's torch model zoo (models/ package).
+
+    Used by the torch→Flax conversion tests to generate *real* reference
+    ``state_dict``s instead of hand-built fakes.
+    """
+    install_stubs()
+    sys.dont_write_bytecode = True
+    added = REFERENCE not in sys.path
+    if added:
+        sys.path.insert(0, REFERENCE)
+    try:
+        from models import pointnet2_cls_ssg  # noqa: F401
+    finally:
+        if added and REFERENCE in sys.path:
+            sys.path.remove(REFERENCE)
+    return pointnet2_cls_ssg
+
+
 def import_reference():
     """Make /root/reference importable and return it as a namespace.
 
@@ -243,14 +262,21 @@ def import_reference():
     """
     install_stubs()
     sys.dont_write_bytecode = True
-    if REFERENCE not in sys.path:
+    # Insert the reference path only for the duration of the imports:
+    # leaving it on sys.path would shadow same-named repo root modules
+    # (train_maskplanner, render_results, ...) for later tests.
+    added = REFERENCE not in sys.path
+    if added:
         sys.path.insert(0, REFERENCE)
-
-    import pytorch3d_chamfer  # noqa: F401
-    import loss_handler  # noqa: F401
-    import metrics_handler  # noqa: F401
-    from utils import pointcloud, cluster, postprocessing  # noqa: F401
-    from utils.dataset import paintnet_ODv1  # noqa: F401
+    try:
+        import pytorch3d_chamfer  # noqa: F401
+        import loss_handler  # noqa: F401
+        import metrics_handler  # noqa: F401
+        from utils import pointcloud, cluster, postprocessing  # noqa: F401
+        from utils.dataset import paintnet_ODv1  # noqa: F401
+    finally:
+        if added and REFERENCE in sys.path:
+            sys.path.remove(REFERENCE)
 
     ns = types.SimpleNamespace(
         chamfer=pytorch3d_chamfer,

@@ -85,6 +85,47 @@ class TestModelZoo:
         n = np.asarray(out).reshape(2, 48, 2, 6)[..., 3:]
         np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
 
+    @pytest.mark.parametrize("norm", ["layer", "none"])
+    def test_encoder_norm_knob(self, rng, norm):
+        """model.norm selects the encoder normalization (TPU norm study:
+        LayerNorm removes BatchNorm's cross-element stats reductions so the
+        train path fuses; see PointMLP docstring)."""
+        cfg = load_args(argv=["config=[maskplanner,cuboids_v2]",
+                              "pc_points=64", "n_pred_traj_points=80",
+                              f"model.norm={norm}"])
+        m = get_model(cfg)
+        x = _pc(rng, N=64)
+        keys = {"params": jax.random.PRNGKey(0),
+                "fps": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        v = m.init(keys, x, train=True)
+        # no BatchNorm state: the whole model is stateless under train
+        assert "batch_stats" not in v or not any(
+            "encoder" in k for k in v.get("batch_stats", {}))
+        out, _ = m.apply(v, x, train=True, mutable=["batch_stats"],
+                         rngs=keys)
+        assert np.isfinite(np.asarray(out.traj)).all()
+
+        def loss(params):
+            o, _ = m.apply({**v, "params": params}, x, train=True,
+                           mutable=["batch_stats"], rngs=keys)
+            return jnp.sum(jnp.abs(o.traj))
+
+        g = jax.grad(loss)(v["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    def test_encoder_norm_unknown_raises(self, rng):
+        cfg = load_args(argv=["config=[maskplanner,cuboids_v2]",
+                              "pc_points=64", "n_pred_traj_points=80",
+                              "model.norm=group"])
+        m = get_model(cfg)
+        with pytest.raises(ValueError, match="unknown norm"):
+            m.init({"params": jax.random.PRNGKey(0),
+                    "fps": jax.random.PRNGKey(1),
+                    "dropout": jax.random.PRNGKey(2)},
+                   _pc(rng, N=64), train=True)
+
     def test_dgcnn_discriminator(self, rng):
         m = DGCNNDiscriminator(k=8)
         v = m.init(jax.random.PRNGKey(0), _pc(rng, N=32), train=False)
