@@ -143,20 +143,41 @@ def main(config=None):
     # ---- transfer-learning init (reference models/__init__.py:386-426) ----
     pretrained_custom = config["model"].get("pretrained_custom")
     if pretrained_custom:
+        torch_ckpt = os.path.join(pretrained_custom, "last_checkpoint.pth")
         if checkpoints.checkpoint_exists(pretrained_custom, "last_checkpoint"):
             state = checkpoints.load_params_only(
                 pretrained_custom, "last_checkpoint", state,
                 filter_heads=not config["model"].get("load_strict"))
             print(f"Initialized from pretrained run {pretrained_custom}")
+        elif os.path.isfile(torch_ckpt):
+            # a *reference* run dir: convert its torch checkpoint
+            # (reference init_from_pretrained_custom, models/__init__.py:406)
+            from maskplanner_tpu.train.torch_convert import load_torch_pretrained
+
+            state, loaded = load_torch_pretrained(
+                torch_ckpt, state, mode="full",
+                load_strict=bool(config["model"].get("load_strict")))
+            print(f"Initialized from reference torch run {pretrained_custom} "
+                  f"({len(loaded)} tensors)")
         else:
             print(f"WARNING: pretrained_custom {pretrained_custom} has no "
                   f"last_checkpoint; training from scratch")
     elif config["model"].get("pretrained"):
-        # the reference warm-starts the encoder from a ShapeNet-pretrained
-        # torch checkpoint (pretrained_models/pointnet2_cls_ssg.pth, stripped
-        # from the reference repo); no equivalent artifact exists here, so
-        # encoder training starts from random init.
-        pass
+        # ShapeNet-pretrained encoder warm start (reference
+        # init_from_pretrained, models/__init__.py:391-395). The reference
+        # blob is stripped from its repo; when a pointnet2_cls_ssg.pth is
+        # provided (model.pretrained_path or ./pretrained_models/), its
+        # sa1..sa3 weights are converted into the Flax encoder.
+        from maskplanner_tpu.train.torch_convert import load_torch_pretrained
+
+        pth = config["model"].get("pretrained_path") or os.path.join(
+            "pretrained_models", "pointnet2_cls_ssg.pth")
+        if os.path.isfile(pth):
+            state, loaded = load_torch_pretrained(pth, state, mode="encoder")
+            print(f"Encoder warm-started from {pth} ({len(loaded)} tensors)")
+        else:
+            print(f"WARNING: model.pretrained set but {pth} not found; "
+                  f"encoder starts from random init")
 
     # ---- resume (new capability vs reference) ------------------------------
     start_epoch = 0
