@@ -137,6 +137,14 @@ class PaintDataset:
     def __len__(self):
         return sum(self._lengths)
 
+    def item_name(self, index: int) -> str:
+        """Stable per-item name for dumps/exports (the reference's
+        ``dirnames``, mesh-dir names for disk data)."""
+        src, local = self._locate(index)
+        if hasattr(src, "samples"):
+            return str(src.samples[local])
+        return f"{self.split}_{local}"
+
     def _locate(self, index):
         for src, n in zip(self.sources, self._lengths):
             if index < n:
@@ -345,6 +353,9 @@ class DataLoader:
             if self.num_shards > 1:
                 idx = idx[self.shard_index * local_bs:
                           (self.shard_index + 1) * local_bs]
+            # dataset indices of the batch about to be yielded (consumed
+            # by the eval loop for real per-item dump names)
+            self.last_indices = np.asarray(idx)
             yield collate([self.dataset.__getitem__(int(i), rng=rng)
                            for i in idx])
 

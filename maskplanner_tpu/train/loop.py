@@ -15,6 +15,18 @@ import numpy as np
 from ..metrics import MetricsHandler
 
 
+def _batch_names(loader, split: str, count: int, B: int) -> list[str]:
+    """Real per-item names (mesh-dir names for disk data — the
+    reference's ``dirnames``, consumed by export/render tools); falls
+    back to positional names when the loader carries no index info."""
+    dataset = getattr(loader, "dataset", None)
+    indices = getattr(loader, "last_indices", None)
+    if dataset is not None and indices is not None \
+            and hasattr(dataset, "item_name") and len(indices) == B:
+        return [dataset.item_name(int(j)) for j in indices]
+    return [f"{split}_{int(j)}" for j in range(count, count + B)]
+
+
 def evaluate(state, loader, eval_step, weights, metrics_handler: MetricsHandler,
              rng, save=False, save_dir=None, split="test", eval_ckpt="last",
              forward=None, mesh=None):
@@ -67,7 +79,7 @@ def evaluate(state, loader, eval_step, weights, metrics_handler: MetricsHandler,
         if save and (split != "train" or i == 0):
             # .npy dump in the reference format (test_maskplanner.py:280-293)
             dump = {
-                "dirnames": [f"{split}_{int(j)}" for j in range(count, count + B)],
+                "dirnames": _batch_names(loader, split, count, B),
                 "traj": np.asarray(batch["traj"]),
                 "stroke_ids": np.asarray(batch["stroke_ids"]),
                 "stroke_ids_as_pc": np.asarray(batch["stroke_ids_as_pc"]),
