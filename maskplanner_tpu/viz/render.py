@@ -54,14 +54,111 @@ def visualize_traj(ax, traj, stroke_ids=None, with_orientations=False,
         _axis_equal(ax, traj[:, :3])
 
 
+def get_mesh_face_colors(vertices, faces, vertices_thickness,
+                         normalize_to_max=None, clamp=None):
+    """Per-face paint thickness from face-vertex thickness rows (3 per
+    face, simulator CSV order) — reference utils/visualize.py:1111-1147.
+    """
+    vertices_thickness = np.asarray(vertices_thickness, np.float64)
+    faces = np.asarray(faces)
+    assert vertices_thickness.shape[0] == faces.shape[0] * 3
+    colors = vertices_thickness.reshape(-1, 3).mean(axis=1)
+    if clamp is not None:
+        colors = np.minimum(colors, clamp)
+    if normalize_to_max is not None:
+        colors = colors / max(colors.max(), 1e-12) * normalize_to_max
+    return colors
+
+
+def visualize_mesh_faces(ax, verts, faces, face_colors=None,
+                         cmap="viridis", clim=None,
+                         below_threshold=None, below_color="#ececec",
+                         color="lightgray", alpha=1.0, lw=0.1):
+    """Mesh-surface rendering (triangles, not a point scatter) —
+    reference visualize_mesh_traj's pyvista ``add_mesh`` path
+    (utils/visualize.py:651-721). With ``face_colors`` the faces are
+    colored through ``cmap`` clipped to ``clim``; faces under
+    ``below_threshold`` (e.g. the coverage metric's GT percentile
+    threshold) render in ``below_color`` like the reference's
+    ``below_color='#ececec'`` uncovered-face grey."""
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    tris = verts[faces]
+    if face_colors is None:
+        colors = color
+    else:
+        face_colors = np.asarray(face_colors, np.float64)
+        lo, hi = clim if clim is not None else (
+            float(face_colors.min()), float(max(face_colors.max(), 1e-12)))
+        t = np.clip((face_colors - lo) / max(hi - lo, 1e-12), 0.0, 1.0)
+        colors = plt.get_cmap(cmap)(t)
+        if below_threshold is not None:
+            from matplotlib.colors import to_rgba
+
+            colors[face_colors < below_threshold] = to_rgba(below_color)
+    coll = Poly3DCollection(tris, facecolors=colors, edgecolors="k",
+                            linewidths=lw, alpha=alpha)
+    ax.add_collection3d(coll)
+    _axis_equal(ax, verts)
+    return coll
+
+
+def visualize_coverage_mesh(verts, faces, pred_vertices_thickness,
+                            gt_vertices_thickness, percentile=10,
+                            save_path=None, traj=None, stroke_ids=None,
+                            elev=25, azim=45, cmap="viridis"):
+    """Side-by-side GT | pred paint-coverage figure: faces colored by
+    deposited thickness with the visual clamp at the GT's p-th
+    percentile and uncovered faces (under the coverage threshold) in
+    grey — the reference's paint_coverage_kwargs rendering
+    (utils/visualize.py:654-721) fed by the in-repo spray simulator.
+    Returns the coverage fraction of the prediction."""
+    gt_fc = get_mesh_face_colors(verts, faces, gt_vertices_thickness)
+    pred_fc = get_mesh_face_colors(verts, faces, pred_vertices_thickness)
+    nonzero = ~np.isclose(gt_fc, 0.0)
+    threshold = np.percentile(gt_fc[nonzero], percentile) if nonzero.any() \
+        else 0.0
+    clamp = threshold if threshold > 0 else max(gt_fc.max(), 1e-12)
+    covered = nonzero & (gt_fc >= threshold)
+    cov = (float((pred_fc[covered] >= threshold).sum())
+           / max(int(covered.sum()), 1))
+
+    fig = plt.figure(figsize=(11, 5))
+    for i, (fc, label) in enumerate(((gt_fc, "GT"), (pred_fc, "pred"))):
+        ax = fig.add_subplot(1, 2, i + 1, projection="3d")
+        visualize_mesh_faces(ax, verts, faces, face_colors=fc, cmap=cmap,
+                             clim=(0.0, clamp), below_threshold=threshold)
+        if traj is not None:
+            visualize_traj(ax, traj, stroke_ids)
+        ax.view_init(elev=elev, azim=azim)
+        ax.set_axis_off()
+        ax.set_title(f"{label} paint thickness", fontsize=9)
+    fig.suptitle(f"coverage: {cov * 100:.1f}% "
+                 f"(p{percentile} threshold {threshold:.3g})", fontsize=10)
+    if save_path:
+        fig.savefig(save_path, dpi=130, bbox_inches="tight")
+        plt.close(fig)
+    return cov
+
+
 def visualize_mesh_traj(point_cloud, traj, stroke_ids=None, save_path=None,
                         title=None, with_orientations=False, elev=25,
-                        azim=45):
-    """Object point cloud + per-stroke colored trajectory -> PNG."""
+                        azim=45, mesh=None):
+    """Object point cloud + per-stroke colored trajectory -> PNG.
+
+    Pass ``mesh=(verts, faces)`` to render the actual mesh surface
+    (reference renders the OBJ mesh; the point scatter is the fallback
+    when only the sampled cloud is available)."""
     fig = plt.figure(figsize=(6, 6))
     ax = fig.add_subplot(111, projection="3d")
-    pc = np.asarray(point_cloud)
-    ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], s=0.3, c="lightgray", alpha=0.5)
+    if mesh is not None:
+        visualize_mesh_faces(ax, mesh[0], mesh[1], alpha=0.35)
+    else:
+        pc = np.asarray(point_cloud)
+        ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], s=0.3, c="lightgray",
+                   alpha=0.5)
     visualize_traj(ax, traj, stroke_ids, with_orientations)
     ax.view_init(elev=elev, azim=azim)
     ax.set_axis_off()
@@ -127,8 +224,10 @@ def visualize_mesh_traj_animated(point_cloud, traj, stroke_ids=None,
                                  azim=45, interval_ms=80):
     """Progressive trajectory-reveal animation over the object
     (reference visualize_mesh_traj_animated, utils/visualize.py:912-1027;
-    pyvista movie -> matplotlib animation here). Saves a GIF via the
-    Pillow writer (no ffmpeg dependency); returns the Animation object.
+    pyvista movie -> matplotlib animation here). A ``.gif`` save_path
+    uses the Pillow writer; a ``.mp4`` save_path matches the reference
+    render driver's movie mode (render_results.py:255-275) via OpenCV's
+    VideoWriter (this container has no ffmpeg). Returns the Animation.
     """
     from matplotlib import animation
 
@@ -157,10 +256,33 @@ def visualize_mesh_traj_animated(point_cloud, traj, stroke_ids=None,
     anim = animation.FuncAnimation(fig, draw, frames=n_frames,
                                    interval=interval_ms, blit=False)
     if save_path:
-        anim.save(save_path, writer=animation.PillowWriter(
-            fps=max(1, 1000 // interval_ms)))
+        fps = max(1, 1000 // interval_ms)
+        if str(save_path).lower().endswith(".mp4"):
+            _write_mp4(fig, draw, n_frames, save_path, fps)
+        else:
+            anim.save(save_path, writer=animation.PillowWriter(fps=fps))
         plt.close(fig)
     return anim
+
+
+def _write_mp4(fig, draw, n_frames, save_path, fps):
+    """Encode animation frames to H.264-less mp4 (mp4v) with OpenCV —
+    matplotlib's FFMpegWriter needs an ffmpeg binary this image lacks."""
+    import cv2
+
+    writer = None
+    for frame in range(n_frames):
+        draw(frame)
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        if writer is None:
+            h, w = buf.shape[:2]
+            writer = cv2.VideoWriter(
+                str(save_path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+            assert writer.isOpened(), f"cv2 VideoWriter failed: {save_path}"
+        writer.write(cv2.cvtColor(buf, cv2.COLOR_RGB2BGR))
+    if writer is not None:
+        writer.release()
 
 
 def randomize_labels_except_special(labels, rng=None):

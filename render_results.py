@@ -38,11 +38,47 @@ def parse_args():
                    help="align pred stroke ids to GT colors via mask matching")
     p.add_argument("--batch_grid", action="store_true")
     p.add_argument("--animated", action="store_true",
-                   help="also save a progressive trajectory-reveal GIF "
-                        "per sample (reference render_results.py mp4 "
-                        "mode, :255-275)")
+                   help="also save a progressive trajectory-reveal "
+                        "animation per sample (reference "
+                        "render_results.py movie mode, :255-275)")
+    p.add_argument("--movie_format", default="gif",
+                   choices=["gif", "mp4"],
+                   help="animation container (mp4 via OpenCV)")
     p.add_argument("--max_samples", type=int, default=4)
+    # paint-coverage face coloring (reference utils/visualize.py:654-721)
+    p.add_argument("--coverage_meshes", default=None,
+                   help="category root with <name>/<name>.obj meshes; "
+                        "enables coverage-colored mesh figures")
+    p.add_argument("--thickness_gt", default=None,
+                   help="dir of GT per-face thickness CSVs (from "
+                        "standalone/simulate_spray_thickness.py)")
+    p.add_argument("--thickness_pred", default=None,
+                   help="dir of predicted per-face thickness CSVs")
+    p.add_argument("--coverage_percentile", type=int, default=10)
     return p.parse_args()
+
+
+def render_coverage(args, name, out_path):
+    """Coverage-colored side-by-side GT/pred mesh figure for one item."""
+    from maskplanner_tpu.data.io import load_obj
+    from maskplanner_tpu.viz.render import visualize_coverage_mesh
+
+    mesh = os.path.join(args.coverage_meshes, name, f"{name}.obj")
+    if not os.path.isfile(mesh):
+        mesh = os.path.join(args.coverage_meshes, f"{name}.obj")
+    gt_csv = os.path.join(args.thickness_gt, f"{name}.txt")
+    pred_csv = os.path.join(args.thickness_pred, f"{name}.txt")
+    if not (os.path.isfile(mesh) and os.path.isfile(gt_csv)
+            and os.path.isfile(pred_csv)):
+        return None
+    verts, faces = load_obj(mesh)
+    gt_t = np.genfromtxt(gt_csv, delimiter=";")
+    pred_t = np.genfromtxt(pred_csv, delimiter=";")
+    if gt_t.ndim == 2:
+        gt_t, pred_t = gt_t[:, 1], pred_t[:, 1]
+    return visualize_coverage_mesh(
+        verts, faces, pred_t, gt_t, percentile=args.coverage_percentile,
+        save_path=out_path)
 
 
 def apply_retrocompat_defaults(config):
@@ -103,7 +139,17 @@ def main():
 
                 visualize_mesh_traj_animated(
                     pc, trajs[b], ids[b],
-                    os.path.join(out_dir, f"{batch_tag}_sample{b}.gif"))
+                    os.path.join(out_dir, f"{batch_tag}_sample{b}"
+                                 f".{args.movie_format}"))
+            if args.coverage_meshes and args.thickness_gt \
+                    and args.thickness_pred:
+                name = str(dump["dirnames"][b])
+                cov = render_coverage(
+                    args, name,
+                    os.path.join(out_dir, f"{batch_tag}_sample{b}"
+                                 f"_coverage.png"))
+                if cov is not None:
+                    print(f"  {name}: paint coverage {cov * 100:.1f}%")
         if args.batch_grid:
             visualize_batch_grid(
                 [pcs[b] if pcs is not None else np.zeros((1, 3))
