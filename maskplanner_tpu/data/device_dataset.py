@@ -21,12 +21,14 @@ from .dataset import collate
 _DEFAULT_BYTE_LIMIT = 2 << 30  # 2 GiB of HBM for the staged split
 
 
-def device_dataset_eligible(config, n_devices: int) -> bool:
+def device_dataset_eligible(config, n_devices: int,
+                            batch_size: int | None = None) -> bool:
     """Whether the scan-epoch path applies.
 
     Opt-out with ``device_dataset=false``; otherwise automatic when
-    - single device (multi-chip DP shards batches through the host
-      loader / ``shard_batch_global`` instead),
+    - the batch divides over the mesh (multi-device: the split is staged
+      replicated — it is small — and each scanned batch is re-sharded on
+      the data axis inside the jitted epoch),
     - no host-side per-epoch augmentations (``pc_online_subsampling``
       resamples on the host each epoch),
     - no adversarial loss (the GAN step threads discriminator state).
@@ -34,7 +36,8 @@ def device_dataset_eligible(config, n_devices: int) -> bool:
     flag = str(config.get("device_dataset", "auto")).lower()
     if flag == "false":
         return False
-    if n_devices != 1:
+    if n_devices > 1 and batch_size is not None \
+            and batch_size % n_devices != 0:
         return False
     if config.get("augmentations"):
         return False
@@ -44,8 +47,14 @@ def device_dataset_eligible(config, n_devices: int) -> bool:
     return True
 
 
-def stage_device_dataset(dataset, byte_limit: int = _DEFAULT_BYTE_LIMIT):
+def stage_device_dataset(dataset, byte_limit: int = _DEFAULT_BYTE_LIMIT,
+                         mesh=None):
     """Materialize + stack the whole dataset and put it on device.
+
+    With a multi-device ``mesh`` the split is replicated across the mesh
+    (PaintNet categories are a few hundred meshes — replication costs
+    little HBM and keeps the per-step gather local; the scan body then
+    re-shards each gathered batch onto the data axis).
 
     Returns the device dict, or None if the stacked split exceeds
     ``byte_limit``.
@@ -57,6 +66,10 @@ def stage_device_dataset(dataset, byte_limit: int = _DEFAULT_BYTE_LIMIT):
     nbytes = sum(np.asarray(v).nbytes for v in stacked.values())
     if nbytes > byte_limit:
         return None
+    if mesh is not None and mesh.size > 1:
+        from ..parallel import replicate
+
+        return replicate(stacked, mesh)
     return jax.device_put(stacked)
 
 

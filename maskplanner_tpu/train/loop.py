@@ -41,7 +41,11 @@ def evaluate(state, loader, eval_step, weights, metrics_handler: MetricsHandler,
     for i, batch in enumerate(loader.epoch(0) if hasattr(loader, "epoch")
                               else loader):
         B = batch["point_cloud"].shape[0]
-        device_batch = shard_batch(batch, mesh) if mesh is not None else batch
+        # shard eval batches over the mesh when they divide evenly; the
+        # (drop_last=False) trailing partial batch runs unsharded
+        device_batch = (shard_batch(batch, mesh)
+                        if mesh is not None and B % mesh.size == 0
+                        else batch)
         loss, terms, out = eval_step(state, device_batch, weights, rng)
 
         # single-sample inference latency (reference test_maskplanner.py:253-257)

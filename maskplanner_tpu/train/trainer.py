@@ -99,7 +99,7 @@ def make_train_step(model, handler: LossHandler, config):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_scan_train_epoch(model, handler: LossHandler, config):
+def make_scan_train_epoch(model, handler: LossHandler, config, mesh=None):
     """Epoch-as-one-dispatch: ``train_epoch(state, data, perm, weights,
     rng)`` runs ``perm.shape[0]`` steps inside a single jitted
     ``lax.scan``, gathering each step's batch from the device-resident
@@ -111,12 +111,28 @@ def make_scan_train_epoch(model, handler: LossHandler, config):
     categories are a few hundred meshes) dataset staged in HBM, the host
     syncs once per epoch. rng folding matches the per-batch path exactly
     (fold_in by ``state.step`` inside the shared step impl).
+
+    With a multi-device ``mesh`` the staged split is replicated and each
+    gathered batch is re-sharded onto the data axis (a local slice — the
+    gather itself stays collective-free), so the scanned step runs the
+    same DP layout as the per-batch path; XLA inserts the gradient
+    all-reduce from the shardings alone.
     """
+    data_spec = None
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        data_spec = NamedSharding(mesh, P(axis))
 
     def train_epoch(state: TrainState, data, perm, weights, rng):
         def body(st, idx):
             batch = jax.tree_util.tree_map(
                 lambda a: jnp.take(a, idx, axis=0), data)
+            if data_spec is not None:
+                batch = jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(a, data_spec),
+                    batch)
             st, loss, terms = _train_step_impl(
                 model, handler, config, st, batch, weights, rng)
             return st, (loss, terms)

@@ -230,14 +230,16 @@ def main(config=None):
     # (same host-side seeded shuffle) and identical rng folding, one host
     # sync per epoch instead of per-step dispatch overhead
     device_data = None
-    if (device_dataset_eligible(config, len(jax.devices()))
+    if (device_dataset_eligible(config, len(jax.devices()), batch_size)
             and len(tr_dataset) >= batch_size):
-        device_data = stage_device_dataset(tr_dataset)
+        device_data = stage_device_dataset(tr_dataset, mesh=mesh)
     if device_data is not None:
         from maskplanner_tpu.train.trainer import make_scan_train_epoch
 
-        train_epoch_fn = make_scan_train_epoch(model, loss_handler, config)
-        print("device-resident dataset: epoch-as-one-dispatch enabled")
+        train_epoch_fn = make_scan_train_epoch(model, loss_handler, config,
+                                               mesh=mesh)
+        print("device-resident dataset: epoch-as-one-dispatch enabled"
+              + (f" ({mesh.size}-device DP)" if mesh.size > 1 else ""))
     else:
         prefetcher = Prefetcher(tr_loader, mesh)
 
@@ -281,7 +283,7 @@ def main(config=None):
         if (epoch + 1) % eval_freq == 0 or (epoch + 1) == epochs:
             eval_loss, eval_terms, eval_metrics, _ = evaluate(
                 state, te_loader, eval_step, weights, metrics_handler, rng,
-                mesh=None)
+                mesh=mesh if mesh.size > 1 else None)
             log.update({"eval_loss": eval_loss})
             log.update({f"{k}_eval_loss": v for k, v in eval_terms.items()})
             log.update(eval_metrics)
@@ -343,7 +345,8 @@ def main(config=None):
             loss_v, terms_v, metrics_v, ms = evaluate(
                 state, loader, eval_step, weights, metrics_handler, rng,
                 save=True, save_dir=results_dir, split=split,
-                eval_ckpt=eval_ckpt, forward=forward)
+                eval_ckpt=eval_ckpt, forward=forward,
+                mesh=mesh if mesh.size > 1 else None)
             run.summary[f"final_{split}_loss"] = loss_v
             for k, v in metrics_v.items():
                 run.summary[f"final_{split}_{k}"] = v
