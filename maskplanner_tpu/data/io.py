@@ -220,7 +220,10 @@ def sample_mesh_surface(v: np.ndarray, f: np.ndarray, n_points: int,
     if not poisson:
         return pts
 
-    # dart throwing: grid hash at radius r = sqrt(area / (2·n))
+    # dart throwing: grid hash at radius r = sqrt(area / (2·n)); cell
+    # edge r/sqrt(3) holds at most one accepted point, and two points
+    # within r can sit up to TWO cells apart per axis (coordinate delta
+    # up to r = sqrt(3)·cell), so the conflict search spans ±2 cells
     radius = np.sqrt(total_area / (2.0 * n_points))
     cell = radius / np.sqrt(3)
     grid: dict[tuple, int] = {}
@@ -228,12 +231,13 @@ def sample_mesh_surface(v: np.ndarray, f: np.ndarray, n_points: int,
     keys = np.floor(pts / cell).astype(np.int64)
     order = rng.permutation(oversample)
     r2_thresh = radius * radius
+    span = (-2, -1, 0, 1, 2)
     for i in order:
         k = tuple(keys[i])
         ok = True
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
+        for dx in span:
+            for dy in span:
+                for dz in span:
                     j = grid.get((k[0] + dx, k[1] + dy, k[2] + dz))
                     if j is not None and ((pts[i] - pts[j]) ** 2).sum() < r2_thresh:
                         ok = False

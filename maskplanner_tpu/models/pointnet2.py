@@ -172,7 +172,11 @@ class SetAbstraction(nn.Module):
 
         feat = PointMLP(self.mlp, dtype=self.dtype,
                         norm=self.norm)(grouped, train=train)
-        new_features = jnp.max(feat, axis=-2)  # max over neighbourhood K
+        # max over neighbourhood K, pooled at f32 regardless of norm mode
+        # (batch/layer already emit f32 from the norm layer; norm=none
+        # would otherwise pool in bf16, and the reduce_max VJP rejects the
+        # f32 cotangent arriving from the f32 head/loss boundary)
+        new_features = jnp.max(feat.astype(jnp.float32), axis=-2)
         return new_xyz, new_features
 
 

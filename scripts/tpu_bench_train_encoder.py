@@ -24,16 +24,27 @@ def gsum(g):
 
 
 def main():
+    import argparse
+
     from maskplanner_tpu.models.pointnet2 import SetAbstraction
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--norm", default="batch")
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    kw = dict(dtype=dtype, norm=args.norm)
 
     B, N = 64, 5120
     rng = np.random.default_rng(0)
     key = jrandom.PRNGKey(0)
     x = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
 
-    sa1 = SetAbstraction(512, 0.2, 32, (64, 64, 128))
-    sa2 = SetAbstraction(128, 0.4, 64, (128, 128, 256))
-    sa3 = SetAbstraction(None, None, None, (256, 512, 1024), group_all=True)
+    sa1 = SetAbstraction(512, 0.2, 32, (64, 64, 128), **kw)
+    sa2 = SetAbstraction(128, 0.4, 64, (128, 128, 256), **kw)
+    sa3 = SetAbstraction(None, None, None, (256, 512, 1024), group_all=True,
+                         **kw)
+    print(f"norm={args.norm} dtype={dtype.__name__}")
 
     v1 = sa1.init({"params": key, "fps": key}, x[:1], None, True)
     x1, f1 = sa1.apply(v1, x, None, False)
