@@ -92,6 +92,43 @@ class SetAbstraction(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm: str = "batch"
 
+    def _fused_level(self, xyz, features, fps_key, train: bool):
+        """Whole-level fused Pallas path for ``norm in ("layer", "none")``,
+        differentiable end-to-end (``ops/pallas/fused_sa_train.py``): ball
+        query + gather + MLP(+LayerNorm) + max-pool in one kernel, with a
+        recompute-based custom VJP — no (B, S, K, C) activation tensor in
+        HBM in either direction. Used for BOTH train and eval (these norms
+        carry no cross-element state, so the paths coincide)."""
+        from ..ops.pallas.fused_sa_train import fused_sa_train
+
+        fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+        new_xyz = index_points(xyz, fps_idx)            # (B, S, 3)
+        mlp = PointMLP(self.mlp, dtype=self.dtype, norm=self.norm)
+        cin = 3 + (0 if features is None else features.shape[-1])
+        # bind/materialize the submodule params (identical names to the
+        # unfused path) without running the big unfused compute
+        mlp(jnp.zeros((1, 1, 1, cin), xyz.dtype), train=False)
+        p = mlp.variables["params"]
+        layers = []
+        for li in range(len(self.mlp)):
+            dense = p[f"Dense_{li}"]
+            layer = [jnp.swapaxes(dense["kernel"], 0, 1), dense["bias"]]
+            if self.norm == "layer":
+                ln = p[f"LayerNorm_{li}"]
+                layer += [ln["scale"], ln["bias"]]
+            layers.append(tuple(layer))
+        f32 = jnp.float32
+        feats32 = None if features is None else features.astype(f32)
+        # bf16 models run the in-kernel MLP matmuls single-pass (same
+        # compute precision as the unfused bf16 path); f32 models use
+        # 6-pass f32 MXU passes
+        prec = "default" if self.dtype == jnp.bfloat16 else "highest"
+        pooled = fused_sa_train(
+            float(self.radius), int(self.nsample), self.norm,
+            xyz.astype(f32), new_xyz.astype(f32), feats32, tuple(layers),
+            precision=prec)
+        return new_xyz, pooled
+
     def _fused_inference(self, xyz, features, fps_key):
         """Whole-level fused Pallas path (eval only): ball query + gather +
         folded-BN MLP + max-pool in one VMEM-resident kernel. Numerically
@@ -131,6 +168,10 @@ class SetAbstraction(nn.Module):
                 and _use_fused_sa()):
             # (BN-folding path; layer-norm levels fuse via the train kernel)
             return self._fused_inference(xyz, features, fps_key)
+        if (not self.group_all and full_points is None
+                and self.norm in ("layer", "none") and _use_fused_sa()):
+            # trainable whole-level fusion (custom VJP, remat backward)
+            return self._fused_level(xyz, features, fps_key, train)
         if self.group_all:
             # single global group (models/pointnet2_utils.py:152-168)
             new_xyz = jnp.zeros((B, 1, 3), xyz.dtype)

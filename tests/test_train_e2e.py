@@ -200,7 +200,10 @@ class TestDeviceDatasetEligibility:
 
         cfg = tiny_config(tmp_path)
         assert device_dataset_eligible(cfg, n_devices=1)
-        assert not device_dataset_eligible(cfg, n_devices=8)  # DP shards via host
+        # multi-device is eligible when the batch divides over the mesh
+        # (the scan body re-shards each batch onto the data axis)
+        assert device_dataset_eligible(cfg, n_devices=8, batch_size=16)
+        assert not device_dataset_eligible(cfg, n_devices=8, batch_size=6)
         cfg2 = tiny_config(tmp_path, augmentations="[pc_online_subsampling]")
         assert not device_dataset_eligible(cfg2, n_devices=1)
         cfg3 = tiny_config(tmp_path)
