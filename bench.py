@@ -20,6 +20,39 @@ import time
 import numpy as np
 
 
+# per-chip peaks: (dense bf16 FLOP/s, HBM bytes/s) — public TPU specs
+# (cloud.google.com/tpu docs; the scaling-book numbers)
+_PEAKS = {
+    "v5 lite": (197e12, 8.1e11),   # v5e
+    "v5e": (197e12, 8.1e11),
+    "v5p": (459e12, 2.8e12),
+    "v4": (275e12, 1.2e12),
+    "v6 lite": (918e12, 1.64e12),  # v6e / Trillium
+    "v6e": (918e12, 1.64e12),
+    "v3": (123e12, 9.0e11),
+}
+
+
+def _device_peaks(device):
+    kind = getattr(device, "device_kind", str(device)).lower()
+    for key, peaks in _PEAKS.items():
+        if key in kind:
+            return peaks
+    return None, None
+
+
+def _cost_analysis(jitted, *args):
+    """XLA's optimized-HLO cost model for one dispatch: (flops, bytes)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), \
+            float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return None, None
+
+
 def main():
     import jax
 
@@ -85,6 +118,19 @@ def main():
     step_ms, final_loss = time_train_steps(train_step, state)
     loss = final_loss
 
+    # ---- roofline accounting: measured time vs XLA's cost model for the
+    # SAME compiled step; utilizations against the chip's public peaks.
+    # The train step is HBM-bound (PARITY.md §6) — hbm_bw_util is the
+    # number that says how close to speed-of-light it runs. -------------
+    flops, bytes_acc = _cost_analysis(train_step, state, device_batch,
+                                      weights, rng)
+    peak_flops, peak_bw = _device_peaks(jax.devices()[0])
+    mfu = hbm_util = None
+    if flops and peak_flops:
+        mfu = flops / (step_ms / 1e3) / peak_flops
+    if bytes_acc and peak_bw:
+        hbm_util = bytes_acc / (step_ms / 1e3) / peak_bw
+
     # ---- inference (loop-bench: N iterations inside one jitted fori_loop
     # with input perturbation — repeated same-input dispatch is unreliable
     # through the remote-execution tunnel) --------------------------------
@@ -113,6 +159,27 @@ def main():
     train_step16 = make_train_step(model16, handler, config16)
     step16_ms, _ = time_train_steps(train_step16, state16)
 
+    # ---- postprocessed inference pipeline at flagship shape: mask ->
+    # stroke ids -> greedy filter -> Edmonds concat -> resample/smooth
+    # (host side, per sample) — the eval-path latency contract beyond the
+    # bare forward (reference test_maskplanner.py:253-257 measures only
+    # the forward; the postprocess is what an executing robot consumes).
+    from maskplanner_tpu.postprocess import (
+        process_pred_stroke_masks_to_stroke_ids)
+    from maskplanner_tpu.postprocess.segments import process_stroke_segments
+
+    out_full = model.apply(variables, pc[:1], train=False)
+    traj_pred_h = np.asarray(out_full.traj, np.float64)
+    masks_h = np.asarray(out_full.stroke_masks)
+    scores_h = np.asarray(out_full.mask_scores)
+    post_ms = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ids_h = process_pred_stroke_masks_to_stroke_ids(masks_h, scores_h)
+        process_stroke_segments(traj_pred_h, ids_h, config)
+        post_ms.append((time.perf_counter() - t0) * 1000)
+    postprocess_ms = min(post_ms)
+
     # single-sample device compute latency (the reference's wall-clock
     # FPS metric, test_maskplanner.py:253-257, measured without host
     # dispatch overhead — the tunneled backend makes dispatch timing
@@ -130,6 +197,9 @@ def main():
         "train_step_ms_batch64": round(step_ms, 2),
         "train_step_ms_batch64_bf16": round(step16_ms, 2),
         "single_sample_device_compute_ms": round(latency_ms, 2),
+        "postprocess_ms_per_sample": round(postprocess_ms, 2),
+        "mfu": round(mfu, 4) if mfu else None,
+        "hbm_bw_util": round(hbm_util, 4) if hbm_util else None,
         "final_train_loss": round(float(loss), 4),
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),

@@ -56,29 +56,41 @@ _BIG = 3.0e7  # > any point index, exactly representable in f32
 _LN_EPS = 1e-6
 
 
-def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=precision)
+def _hi_lo(x):
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
 
-def _mm_t(a, b, precision=jax.lax.Precision.HIGHEST):
+def _dot(a, b, dims, prec):
+    """MXU contraction with f32 accumulation at one of three precisions:
+    "highest" = 6-pass f32, "default" = 1-pass bf16, "high" = manual
+    bf16_3x (ah@bh + ah@bl + al@bh — Mosaic's dot lowering rejects
+    jax.lax.Precision.HIGH, so the decomposition is spelled out)."""
+    kw = dict(preferred_element_type=jnp.float32)
+    if prec == "high":
+        ah, al = _hi_lo(a)
+        bh, bl = _hi_lo(b)
+        d = jax.lax.Precision.DEFAULT
+        return (jax.lax.dot_general(ah, bh, dims, precision=d, **kw)
+                + jax.lax.dot_general(ah, bl, dims, precision=d, **kw)
+                + jax.lax.dot_general(al, bh, dims, precision=d, **kw))
+    p = (jax.lax.Precision.HIGHEST if prec == "highest"
+         else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(a, b, dims, precision=p, **kw)
+
+
+def _mm(a, b, prec="highest"):
+    return _dot(a, b, (((1,), (0,)), ((), ())), prec)
+
+
+def _mm_t(a, b, prec="highest"):
     """a.T @ b with a (Ci, Co) read transposed: (Co, Ci)·rows contraction."""
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=precision)
+    return _dot(a, b, (((0,), (0,)), ((), ())), prec)
 
 
 def _mm_bt(a, b):
     """a @ b.T contracting the column axis of both (bf16 ok, f32 acc)."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.DEFAULT)
-
-
-def _hi_lo(x):
-    hi = x.astype(jnp.bfloat16)
-    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _dot(a, b, (((1,), (1,)), ((), ())), "default")
 
 
 def _layer_stats(h, c_true: int):
@@ -152,12 +164,20 @@ class _Gather:
     kc neighbour columns with one pair of hi/lo matmuls (instead of kc
     small per-k matmuls — the per-call overhead, not FLOPs, dominated the
     serial form). Retains the one-hot factors for the transposed scatter
-    in the backward (d_src accumulation as one a@b.T matmul per chunk)."""
+    in the backward (d_src accumulation as one a@b.T matmul per chunk).
 
-    def __init__(self, xt, xtb_ref, q, block_w: int, cp: int):
+    ``single``: bf16-model mode — feature rows gather/scatter in ONE
+    bf16 MXU pass (a one-hot contraction of a bf16-rounded value is
+    exact at bf16 value precision, which is all a bf16 model carries);
+    only the xyz rows (relative-coordinate cancellation after the q
+    subtraction) keep the hi/lo f32 reconstruction."""
+
+    def __init__(self, xt, xtb_ref, q, block_w: int, cp: int,
+                 single: bool = False):
         self.block_w = block_w
         self.q = q
         self.cp = cp
+        self.single = single
         if block_w:
             xtb = xtb_ref[0]
             self.xtb_hi, self.xtb_lo = _hi_lo(xtb)
@@ -173,7 +193,12 @@ class _Gather:
             self.seg = (seg_r // block_w == seg_c).astype(jnp.float32)
         else:
             self.N = xt.shape[1]
-            self.xt_hi, self.xt_lo = _hi_lo(xt)
+            self.split = single and cp > 8  # hi/lo xyz rows + single rest
+            if self.split:
+                self.xt_hi, self.xt_lo = _hi_lo(xt[:8])
+                self.xt_rest = xt[8:].astype(jnp.bfloat16)
+            else:
+                self.xt_hi, self.xt_lo = _hi_lo(xt)
             TS = q.shape[1]
             self.iota_n = jax.lax.broadcasted_iota(
                 jnp.int32, (self.N, TS), 0).astype(jnp.float32)
@@ -196,13 +221,19 @@ class _Gather:
     def gather(self, onehot, aux, cols: int):
         """(Cin_pad, cols*TS) chunk with query-relative xyz rows."""
         if self.block_w:
-            gb = (_mm(self.xtb_hi, onehot, jax.lax.Precision.DEFAULT)
-                  + _mm(self.xtb_lo, onehot, jax.lax.Precision.DEFAULT))
+            gb = (_mm(self.xtb_hi, onehot, "default")
+                  + _mm(self.xtb_lo, onehot, "default"))
             sel = jnp.where(aux, gb, 0.0)
-            g = _mm(self.seg, sel)
+            # seg is 0/1 (bf16-exact); sel needs hi/lo to keep f32 values
+            g = _mm(self.seg, sel, "default" if self.single else "high")
+        elif self.split:
+            g_xyz = (_mm(self.xt_hi, onehot, "default")
+                     + _mm(self.xt_lo, onehot, "default"))
+            g_rest = _mm(self.xt_rest, onehot, "default")
+            g = jnp.concatenate([g_xyz, g_rest], axis=0)
         else:
-            g = (_mm(self.xt_hi, onehot, jax.lax.Precision.DEFAULT)
-                 + _mm(self.xt_lo, onehot, jax.lax.Precision.DEFAULT))
+            g = (_mm(self.xt_hi, onehot, "default")
+                 + _mm(self.xt_lo, onehot, "default"))
         qc = (self.q if cols == 1
               else jnp.concatenate([self.q] * cols, axis=1))
         rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
@@ -211,11 +242,18 @@ class _Gather:
 
     def scatter_add(self, dsrc_ref, dg, onehot, aux):
         """dsrc += dg @ onehot.T (hi/lo split keeps f32 accuracy with
-        bf16 MXU passes; the one-hot factor is exact in bf16)."""
+        bf16 MXU passes; the one-hot factor is exact in bf16; single
+        mode scatters in one bf16 pass — bf16-model gradient noise)."""
         if self.block_w:
-            d_sel = jnp.where(aux, _mm_t(self.seg, dg), 0.0)   # (R, C)
-            d_hi, d_lo = _hi_lo(d_sel)
-            dsrc_ref[0] += _mm_bt(d_hi, onehot) + _mm_bt(d_lo, onehot)
+            d_sel = jnp.where(aux, _mm_t(
+                self.seg, dg, "default" if self.single else "high"), 0.0)
+            if self.single:
+                dsrc_ref[0] += _mm_bt(d_sel.astype(jnp.bfloat16), onehot)
+            else:
+                d_hi, d_lo = _hi_lo(d_sel)
+                dsrc_ref[0] += _mm_bt(d_hi, onehot) + _mm_bt(d_lo, onehot)
+        elif self.single:
+            dsrc_ref[0] += _mm_bt(dg.astype(jnp.bfloat16), onehot)
         else:
             d_hi, d_lo = _hi_lo(dg)
             dsrc_ref[0] += _mm_bt(d_hi, onehot) + _mm_bt(d_lo, onehot)
@@ -245,7 +283,8 @@ def _fwd_kernel(xt_ref, qt_ref, *refs, radius2: float, K: int,
 
     _select_neighbours(q, xt, radius2, K, TS, N, idx_ref)
 
-    gat = _Gather(xt, xtb_ref, q, block_w, xt.shape[0])
+    gat = _Gather(xt, xtb_ref, q, block_w, xt.shape[0],
+                  single=prec == "default")
     kc = max(1, min(K, chunk_cols // TS))
     c_last = wrefs[-1]["w"].shape[0]
 
@@ -316,7 +355,8 @@ def _bwd_kernel(xt_ref, qt_ref, idx_ref, pooled_ref, dout_ref, *refs,
 
     avail_ref[...] = jnp.ones_like(avail_ref)
 
-    gat = _Gather(xt, xtb_ref, q, block_w, xt.shape[0])
+    gat = _Gather(xt, xtb_ref, q, block_w, xt.shape[0],
+                  single=prec == "default")
     kc = max(1, min(K, chunk_cols // TS))
 
     def process(k0, cols, carry):
@@ -356,9 +396,8 @@ def _bwd_kernel(xt_ref, qt_ref, idx_ref, pooled_ref, dout_ref, *refs,
             wg[per * li + 1] = wg[per * li + 1] + jnp.sum(
                 d, axis=1, keepdims=True)
             # dW = d @ h_in^T  (contract columns)
-            wg[per * li] = wg[per * li] + jax.lax.dot_general(
-                d, h_in, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
+            wg[per * li] = wg[per * li] + _dot(
+                d, h_in, (((1,), (1,)), ((), ())), prec)
             d = _mm_t(wrefs[li]["w"][...], d, prec)     # (Ci, cols)
 
         # d wrt gathered chunk: query grad + batched source scatter
@@ -434,10 +473,6 @@ def _wspecs(flat):
                          memory_space=pltpu.VMEM) for a in flat]
 
 
-_PRECS = {"highest": jax.lax.Precision.HIGHEST,
-          "default": jax.lax.Precision.DEFAULT}
-
-
 def _pick_chunk_cols(npd, cp, chans, block_w, bwd=False):
     """Gather/MLP chunk width (columns) sized to a VMEM live-set budget.
 
@@ -490,7 +525,7 @@ def _fsa_train_fwd_raw(radius, nsample, norm, xt, qt, params,
     out, idx = pl.pallas_call(
         functools.partial(_fwd_kernel, radius2=float(radius) ** 2, K=K,
                           n_layers=len(params), norm=norm,
-                          block_w=d["block_w"], prec=_PRECS[precision],
+                          block_w=d["block_w"], prec=precision,
                           chunk_cols=chunk_cols),
         out_shape=(jax.ShapeDtypeStruct((d["B"], c_last, d["sp"]),
                                         jnp.float32),
@@ -569,7 +604,7 @@ def _fsa_train_bwd_raw(radius, nsample, norm, xt, qt, idx, pooled, d_out,
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, K=K, n_layers=len(params), norm=norm,
-                          block_w=d["block_w"], prec=_PRECS[precision],
+                          block_w=d["block_w"], prec=precision,
                           chunk_cols=chunk_cols),
         out_shape=tuple(out_shapes),
         grid=(d["B"], d["sp"] // tile_s),

@@ -107,6 +107,23 @@ class TestFusedSATrainOp:
             np.testing.assert_allclose(np.asarray(xi), np.asarray(yi),
                                        atol=5e-4 * s)
 
+    @pytest.mark.parametrize("precision", ["high", "default"])
+    def test_reduced_precision_modes(self, rng, precision):
+        """bf16-model ("default": single-pass MXU matmuls + single-pass
+        feature gathers) and f32-model ("high": bf16_3x) precision modes
+        stay within their expected tolerance of the f32 reference."""
+        from maskplanner_tpu.ops.pallas.fused_sa_train import fused_sa_train
+
+        radius, K = 0.35, 16
+        xyz, new_xyz, feats, params = _make_case(rng, "layer", True)
+        a = fused_sa_train(radius, K, "layer", xyz, new_xyz, feats, params,
+                           precision=precision)
+        b = _unfused(radius, K, "layer", xyz, new_xyz, feats, params)
+        tol = 2e-2 if precision == "default" else 1e-4
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=tol * float(jnp.abs(b).max()))
+
     def test_nonaligned_shapes(self, rng):
         """S not a tile multiple, K not a multiple of 8, odd channels."""
         from maskplanner_tpu.ops.pallas.fused_sa_train import fused_sa_train
