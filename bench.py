@@ -159,6 +159,25 @@ def main():
     train_step16 = make_train_step(model16, handler, config16)
     step16_ms, _ = time_train_steps(train_step16, state16)
 
+    # ---- fused training path (model.norm=layer: the TPU-recommended
+    # encoder norm — the whole SA level runs as one Pallas kernel with a
+    # recompute VJP, no (B,S,K,C) activations in HBM either direction;
+    # convergence parity in docs/convergence.md) ------------------------
+    def fused_step_ms(base_cfg):
+        cfg = load_args(argv=base_cfg + ["dataset_size=64",
+                                         "model.norm=layer"])
+        m = get_model(cfg)
+        st = create_train_state(m, cfg, rng, batch["point_cloud"][:1],
+                                steps_per_epoch=1)
+        st = replicate(st, mesh)
+        ts = make_train_step(m, handler, cfg)
+        ms, _ = time_train_steps(ts, st)
+        return ms
+
+    fused_ms = fused_step_ms(["config=[maskplanner,windows_v2,longx_v2]"])
+    fused16_ms = fused_step_ms(
+        ["config=[maskplanner,windows_v2,longx_v2,bf16]"])
+
     # ---- postprocessed inference pipeline at flagship shape: mask ->
     # stroke ids -> greedy filter -> Edmonds concat -> resample/smooth
     # (host side, per sample) — the eval-path latency contract beyond the
@@ -196,6 +215,8 @@ def main():
         "config": "windows_v2 flagship (pc=5120, out_vectors=450, masks=22)",
         "train_step_ms_batch64": round(step_ms, 2),
         "train_step_ms_batch64_bf16": round(step16_ms, 2),
+        "train_step_ms_batch64_fused": round(fused_ms, 2),
+        "train_step_ms_batch64_fused_bf16": round(fused16_ms, 2),
         "single_sample_device_compute_ms": round(latency_ms, 2),
         "postprocess_ms_per_sample": round(postprocess_ms, 2),
         "mfu": round(mfu, 4) if mfu else None,
