@@ -157,13 +157,17 @@ def hungarian(
     from .sampling import _use_pallas
 
     # Kernel dispatch bounds: the kernel's row select is an O(n) scan per
-    # Dijkstra step (O(n^3) sequential vector ops total — measured wins at
-    # the mask/stroke matching sizes n<=41+pad, untested headroom beyond),
-    # and the whole padded (n, Bp, 128) cost plus carries live in one
-    # un-gridded program, so the batch x n footprint must fit VMEM.
+    # Dijkstra step (O(n^3) sequential vector ops total). Measured wins
+    # over the vmapped XLA JV across the full lane range on v5e (~17x at
+    # the mask/stroke matching sizes n<=41+pad; 1.1-1.7x in the 64-128
+    # band, e.g. n=96 B=64: 43.8 vs 75.1 ms, n=128 B=64: 61.0 vs
+    # 100.4 ms). The whole padded (n, Bp, 128) cost plus carries live in
+    # one un-gridded program, so the batch x n footprint must fit VMEM;
+    # n > 128 exceeds the kernel's lane width and falls back (ops/sinkhorn
+    # covers the large-set regime).
     Bp = max(8, -(-Bf // 8) * 8)
     fits_vmem = n * Bp * 128 * 4 <= (4 << 20)
-    if _use_pallas() and n <= 64 and fits_vmem:
+    if _use_pallas() and n <= 128 and fits_vmem:
         # single-kernel batched JV: the whole batch advances in lockstep
         # inside one Pallas program (~17x over the vmapped XLA loop)
         from .pallas.lap import lap_jv_pallas
