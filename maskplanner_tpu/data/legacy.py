@@ -193,14 +193,17 @@ class LegacyPaintDataset:
         traj = traj[:, :outdim]
 
         if self.stroke_pred:
-            # per-stroke uniform downsample (paintnet.py:225-231); the
-            # flat poses double as traj_as_pc (reference defect, see
-            # module docstring)
+            # per-stroke uniform downsample (paintnet.py:225-231):
+            # strokes with length <= stroke_points are dropped and the
+            # rest renumbered (reference downsample_strokes semantics).
+            # The flat poses double as traj_as_pc (reference defect, see
+            # module docstring).
             pts, ids = downsample_strokes(traj, stroke_ids,
                                           self.stroke_points)
-            n_strokes = len(np.unique(ids))
-            traj_out = pts.reshape(n_strokes, self.stroke_points * outdim)
-            return pc, traj_out, pts.copy(), ids, self.dirname(index)
+            traj_out = pts.reshape(pts.shape[0],
+                                   self.stroke_points * outdim)
+            return (pc, traj_out, pts.reshape(-1, outdim).copy(),
+                    ids.reshape(-1), self.dirname(index))
 
         # equal-interval subsample to traj_points (paintnet.py:233-236)
         sel = np.round(np.linspace(0, traj.shape[0] - 1,

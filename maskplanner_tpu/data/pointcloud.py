@@ -330,14 +330,24 @@ def get_3dbbox(stroke):
 
 def downsample_strokes(traj, stroke_ids, n_points):
     """Uniformly subsample each stroke to n_points
-    (reference utils/pointcloud.py:524-549)."""
+    (reference utils/pointcloud.py:524-549).
+
+    Matches the reference exactly: strokes with length <= n_points are
+    DROPPED (no upsampling), surviving strokes are renumbered 0..c-1,
+    and the outputs are stacked per stroke — traj (c, n_points, D),
+    ids (c, n_points)."""
     outs, ids = [], []
-    for sid in np.unique(stroke_ids[stroke_ids >= 0]):
+    c = 0
+    for sid in np.unique(stroke_ids):
         stroke = traj[stroke_ids == sid]
-        sel = np.linspace(0, stroke.shape[0] - 1, n_points).round().astype(int)
-        outs.append(stroke[sel])
-        ids.append(np.full(n_points, sid))
-    return np.concatenate(outs), np.concatenate(ids)
+        if stroke.shape[0] <= n_points:
+            continue
+        sel = np.round(np.linspace(0, stroke.shape[0] - 1,
+                                   num=n_points)).astype(int)
+        outs.append(stroke[sel].copy())
+        ids.append(np.full(n_points, c, np.float64))
+        c += 1
+    return np.array(outs), np.array(ids)
 
 
 def mean_knn_distance(points, k=1):

@@ -191,6 +191,14 @@ def install_stubs():
     if _installed:
         return
     os.environ.setdefault("MPLBACKEND", "Agg")
+    import numpy as np
+
+    # numpy 2.0 removed the ``np.round_`` alias the reference calls
+    # (utils/pointcloud.py:536, utils/dataset/paintnet.py:233); restore it
+    # so the reference's own code runs unmodified.
+    if not hasattr(np, "round_"):
+        np.round_ = np.round  # type: ignore[attr-defined]
+
     import torch
 
     # Identity .cuda() so the reference's hard-coded device moves run on CPU.
