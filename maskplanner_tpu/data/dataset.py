@@ -176,8 +176,12 @@ class PaintDataset:
         pc, traj, stroke_ids = src.raw_item(local)
         cfg = self.config
 
-        # center on point-cloud centroid + per-dataset scale
-        centroid = pc.mean(axis=0)
+        # center on the mesh vertex centroid when the source has a mesh
+        # (reference ``center_pair``/``get_mean_mesh``,
+        # utils/pointcloud.py:24-37); synthetic sources fall back to the
+        # sampled-cloud centroid
+        centroid = (np.asarray(src.centroid(local), pc.dtype)
+                    if hasattr(src, "centroid") else pc.mean(axis=0))
         pc = (pc - centroid) / self.scale
         traj = traj.copy()
         traj[:, :3] = (traj[:, :3] - centroid) / self.scale

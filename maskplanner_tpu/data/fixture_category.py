@@ -99,6 +99,12 @@ def write_category(root: str, category: str, n_train: int = 6,
             [traj[:, :3], euler, ids[:, None].astype(np.float64)], axis=1)
         save_traj_file(rows, os.path.join(d, f"{name}_trajectory.txt"),
                        kind="euler")
+        # the real dataset names the program plainly ``trajectory.txt``
+        # (reference paintnet_ODv1.py:154); write that name too so the
+        # reference loader can consume the fixture directly
+        import shutil
+        shutil.copyfile(os.path.join(d, f"{name}_trajectory.txt"),
+                        os.path.join(d, "trajectory.txt"))
     with open(os.path.join(cat_dir, "train_split.json"), "w") as f:
         json.dump(names[:n_train], f)
     with open(os.path.join(cat_dir, "test_split.json"), "w") as f:

@@ -338,6 +338,14 @@ class DiskPaintDataset:
         return (pc.astype(np.float32), traj.astype(np.float32),
                 stroke_ids.astype(np.int64))
 
+    def centroid(self, idx: int) -> np.ndarray:
+        """Mesh vertex centroid — the reference's centering convention
+        (``center_pair`` -> ``get_mean_mesh``, utils/pointcloud.py:24-37):
+        pairs are shifted by the mean of the mesh *vertices*, not of the
+        sampled point cloud."""
+        mesh_file, _ = self._paths(self.samples[idx])
+        return get_mean_mesh(mesh_file)
+
 
 def get_mean_mesh(meshpath):
     """Vertex centroid of a mesh file (reference utils/pointcloud.py:24-28)."""

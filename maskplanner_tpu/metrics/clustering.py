@@ -62,6 +62,16 @@ def v_measure_score(labels_true, labels_pred, beta=1.0):
     return homogeneity_completeness_v_measure(labels_true, labels_pred, beta)[2]
 
 
+def homogeneity_score(labels_true, labels_pred):
+    """Reference: utils/metrics/homogeneity_completeness_v_measure.py:46."""
+    return homogeneity_completeness_v_measure(labels_true, labels_pred)[0]
+
+
+def completeness_score(labels_true, labels_pred):
+    """Reference: utils/metrics/homogeneity_completeness_v_measure.py:39."""
+    return homogeneity_completeness_v_measure(labels_true, labels_pred)[1]
+
+
 def pair_confusion_matrix(labels_true, labels_pred):
     """2x2 pair confusion matrix (reference utils/metrics/utils.py)."""
     c = contingency_matrix(labels_true, labels_pred).astype(np.float64)

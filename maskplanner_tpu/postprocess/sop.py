@@ -37,7 +37,8 @@ def postprocess_sop_predictions(sop_pred, pred_sop_conf_scores,
     """
     sop_pred = np.asarray(sop_pred)
     conf = _sigmoid(np.asarray(pred_sop_conf_scores))
-    return [sop_pred[b][conf[b] >= sop_conf_threshold]
+    # strictly-greater, like the reference (:648 ``sop_probs[b] > t``)
+    return [sop_pred[b][conf[b] > sop_conf_threshold]
             for b in range(sop_pred.shape[0])]
 
 

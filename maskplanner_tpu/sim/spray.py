@@ -164,8 +164,10 @@ def simulate_program(mesh_path: str, program_path: str,
 
     The exported programs live in a frame centered on the object
     (``from_pred_to_offline_v2`` exports around the origin); with
-    ``center=True`` the mesh is shifted by its area-weighted surface
-    centroid to match. Writes the CSV when ``out_path`` is given.
+    ``center=True`` the mesh is shifted by its vertex centroid — the
+    loader's centering convention (reference ``center_pair`` ->
+    ``get_mean_mesh``, utils/pointcloud.py:24-37) — to match. Writes the
+    CSV when ``out_path`` is given.
     """
     from ..data.io import load_obj, read_traj_file
 
@@ -173,7 +175,7 @@ def simulate_program(mesh_path: str, program_path: str,
     if faces.size == 0:
         raise ValueError(f"{mesh_path}: mesh has no faces")
     if center:
-        verts = verts - surface_centroid(verts, faces)
+        verts = verts - verts.mean(axis=0)
 
     traj, _ = read_traj_file(program_path, extra_data=("orientnorm",))
     positions, dirs = traj[:, :3], traj[:, 3:6]

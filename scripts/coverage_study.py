@@ -1,0 +1,167 @@
+"""Per-category paint-coverage study — the in-repo proxy for the paper's
+">99% coverage" north star (reference ``README.md:10``; metric method
+``standalone/compute_paint_coverage_per_face.py:62-114``).
+
+For each category preset this script materializes a fabricated PaintNet
+category on disk (real dataset layout: OBJ meshes + ``;``-separated
+trajectory programs + split JSONs), trains the flagship MaskPlanner model
+through the real disk pipeline (mesh sampling -> npz cache -> per-dataset
+normalization -> lambda-segmentation), exports predictions to robot
+programs (``standalone/from_pred_to_offline_v2.py``), runs the in-repo
+spray-deposition simulator over the programs, and reports the coverage %
+of each test object:
+
+  truth    = deposition of the original (pre-pipeline) program
+  gt_cov   = coverage of the exported GT program vs truth
+             (upper bound: lambda-segmentation + normalization roundtrip)
+  pred_cov = coverage of the exported model prediction vs truth
+
+Usage:
+  python scripts/coverage_study.py [--categories cuboids-v2 windows-v2]
+      [--epochs 600] [--postprocess]
+
+Writes one JSON summary line per category and a final markdown table
+(paste into docs/coverage.md).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "standalone"))
+
+
+def run_category(category: str, args) -> dict:
+    import numpy as np
+
+    import train_maskplanner
+    import test_maskplanner as eval_driver
+    import from_pred_to_offline_v2 as export_tool
+    from compute_paint_coverage_per_face import coverage_for_pair
+    from maskplanner_tpu.data.fixture_category import write_category
+    from maskplanner_tpu.sim import simulate_program
+    from maskplanner_tpu.utils.args import load_args
+
+    tmp = tempfile.mkdtemp(prefix=f"coverage_{category}_")
+    root = os.path.join(tmp, "paintnet")
+    cat_dir = write_category(root, category, n_train=args.n_train,
+                             n_test=args.n_test, seed=args.seed)
+    os.environ["PAINTNET_ROOT"] = root
+    ep = args.epochs
+    try:
+        cfg = load_args(argv=[
+            "config=[maskplanner,cuboids_v2,longx_v2]",
+            f"dataset={category}",
+            f"pc_points={args.pc_points}",
+            f"traj_points={args.traj_points}",
+            f"n_pred_traj_points={args.n_pred_traj_points}",
+            "max_n_strokes=8",
+            "traj_with_equally_spaced_points=false",
+            "data_scale_factor=800.0",
+            f"batch_size={args.batch_size}",
+            f"epochs={ep}", f"eval_freq={max(ep // 4, 1)}",
+            # compress the 4800-epoch curriculum proportionally
+            f"lr_sched.step_sizes=[{ep//5},{ep//3},{ep//2},"
+            f"{2*ep//3},{5*ep//6}]",
+            f"psacd_scheduler.milestones=[{ep//5},{2*ep//5}]",
+            f"start_stroke_masks_loss_at={2 * ep // 3}",
+            "eval_metrics=[pcd,stroke_masks_metrics]",
+            f"seed={args.seed}", "no_save=false",
+            f"output_dir={tmp}",
+        ] + (["model.bf16=true"] if args.bf16 else [])
+          + ([f"model.norm={args.norm}"] if args.norm != "batch" else []))
+        run_dir, _ = train_maskplanner.main(cfg)
+
+        old_argv = sys.argv
+        sys.argv = ["test_maskplanner.py", "--run", run_dir, "--model",
+                    "last", "--save", "--split", "test"]
+        try:
+            eval_driver.main()
+        finally:
+            sys.argv = old_argv
+
+        progs = os.path.join(tmp, "programs")
+        sys.argv = (["from_pred_to_offline_v2.py", "--run", run_dir,
+                     "--output_dir", progs, "--model", "last"]
+                    + (["--postprocess"] if args.postprocess else []))
+        try:
+            export_tool.main()
+        finally:
+            sys.argv = old_argv
+
+        gt_dir = os.path.join(progs, f"gt_{category}")
+        pred_dir = os.path.join(progs, f"pred_{category}")
+        names = sorted(os.listdir(gt_dir))
+        assert names and sorted(os.listdir(pred_dir)) == names, \
+            (names, os.listdir(pred_dir))
+
+        per_item, gt_covs, pred_covs = {}, [], []
+        for fname in names:
+            name = os.path.splitext(fname)[0]
+            mesh = os.path.join(cat_dir, name, f"{name}.obj")
+            orig = os.path.join(cat_dir, name, f"{name}_trajectory.txt")
+            truth = simulate_program(mesh, orig).reshape(-1, 3).mean(1)
+            gt = simulate_program(
+                mesh, os.path.join(gt_dir, fname)).reshape(-1, 3).mean(1)
+            pred = simulate_program(
+                mesh, os.path.join(pred_dir, fname)).reshape(-1, 3).mean(1)
+            g = coverage_for_pair(truth, gt, percentile=args.percentile)
+            p = coverage_for_pair(truth, pred, percentile=args.percentile)
+            per_item[name] = dict(gt=round(float(g), 4),
+                                  pred=round(float(p), 4))
+            gt_covs.append(g)
+            pred_covs.append(p)
+
+        summary = dict(
+            category=category, epochs=ep, n_train=args.n_train,
+            n_test=args.n_test,
+            gt_coverage=round(float(np.mean(gt_covs)), 4),
+            pred_coverage=round(float(np.mean(pred_covs)), 4),
+            pred_coverage_min=round(float(np.min(pred_covs)), 4),
+            per_item=per_item, run_dir=run_dir,
+            postprocess=bool(args.postprocess),
+        )
+        print(json.dumps(summary), flush=True)
+        return summary
+    finally:
+        os.environ.pop("PAINTNET_ROOT", None)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--categories", nargs="+",
+                    default=["cuboids-v2", "windows-v2", "shelves-v2",
+                             "containers-v2"])
+    ap.add_argument("--epochs", type=int, default=600)
+    ap.add_argument("--n_train", type=int, default=16)
+    ap.add_argument("--n_test", type=int, default=4)
+    ap.add_argument("--pc_points", type=int, default=512)
+    ap.add_argument("--traj_points", type=int, default=512)
+    ap.add_argument("--n_pred_traj_points", type=int, default=256)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--percentile", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--postprocess", action="store_true",
+                    help="export through the full postprocess pipeline")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--norm", default="batch")
+    args = ap.parse_args()
+
+    rows = [run_category(c, args) for c in args.categories]
+
+    print("\n| category | GT roundtrip cov | pred cov (mean) | pred cov "
+          "(min) |", flush=True)
+    print("|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['category']} | {100 * r['gt_coverage']:.1f}% | "
+              f"{100 * r['pred_coverage']:.1f}% | "
+              f"{100 * r['pred_coverage_min']:.1f}% |")
+
+
+if __name__ == "__main__":
+    main()
