@@ -61,6 +61,12 @@ def repo_side(config, batch, iters):
     train_step = make_train_step(model, handler, config)
 
     device_batch = jax.device_put(batch)
+    # the jitted step donates its state argument — grab inference
+    # variables before the first call deletes the initial buffers
+    variables = {
+        "params": jax.tree.map(lambda x: x.copy(), state.params),
+        "batch_stats": jax.tree.map(lambda x: x.copy(), state.batch_stats),
+    }
     holder = {"state": state}
 
     def step():
@@ -71,7 +77,6 @@ def repo_side(config, batch, iters):
 
     step_ms = time_fn(step, iters)
 
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
     fwd = jax.jit(lambda a: model.apply(variables, a, train=False).traj)
 
     def infer():
