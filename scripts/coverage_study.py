@@ -79,7 +79,7 @@ def run_category(category: str, args) -> dict:
 
         old_argv = sys.argv
         sys.argv = ["test_maskplanner.py", "--run", run_dir, "--model",
-                    "last", "--save", "--split", "test"]
+                    "last", "--save", "--split", args.split]
         try:
             eval_driver.main()
         finally:
@@ -87,7 +87,8 @@ def run_category(category: str, args) -> dict:
 
         progs = os.path.join(tmp, "programs")
         sys.argv = (["from_pred_to_offline_v2.py", "--run", run_dir,
-                     "--output_dir", progs, "--model", "last"]
+                     "--output_dir", progs, "--model", "last",
+                     "--split", args.split]
                     + (["--postprocess"] if args.postprocess else []))
         try:
             export_tool.main()
@@ -119,7 +120,7 @@ def run_category(category: str, args) -> dict:
 
         summary = dict(
             category=category, epochs=ep, n_train=args.n_train,
-            n_test=args.n_test,
+            n_test=args.n_test, split=args.split,
             gt_coverage=round(float(np.mean(gt_covs)), 4),
             pred_coverage=round(float(np.mean(pred_covs)), 4),
             pred_coverage_min=round(float(np.min(pred_covs)), 4),
@@ -145,6 +146,9 @@ def main():
     ap.add_argument("--n_pred_traj_points", type=int, default=256)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--percentile", type=int, default=10)
+    ap.add_argument("--split", default="test", choices=["train", "test"],
+                    help="split to evaluate coverage on (train isolates "
+                         "pipeline fidelity from generalization)")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--postprocess", action="store_true",
                     help="export through the full postprocess pipeline")

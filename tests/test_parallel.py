@@ -9,9 +9,11 @@ import pytest
 @pytest.mark.slow
 class TestMultichip:
     def test_dryrun_8_devices(self, clean_subprocess):
+        # ~440s alone on this 1-core box; leave headroom for a
+        # contended core (the default 560s flaked under parallel jobs)
         out = clean_subprocess(
             "import __graft_entry__ as g; g.dryrun_multichip(8)",
-            n_devices=8)
+            n_devices=8, timeout=1500)
         assert "OK" in out
 
     def test_multihost_loader_and_global_batch(self, clean_subprocess):
