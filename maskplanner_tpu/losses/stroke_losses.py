@@ -80,7 +80,10 @@ def masked_mse_strokes_from_segments(stacked_points_per_stroke_pred,
     pos_w, neg_w = 10.0, 1.0
     eos_loss = (-pos_w * eos_targets * jnp.log(eos_probs)
                 - neg_w * (1 - eos_targets) * jnp.log(1 - eos_probs))
-    return point_loss + (eos_loss * mask).mean()
+    # the reference's WeightedBCELoss reduces to a scalar BEFORE the mask
+    # multiply (loss_handler.py:1815-1818, :1571) — the EoS term is the
+    # unmasked mean scaled by the valid fraction; reproduced exactly
+    return point_loss + eos_loss.mean() * mask.mean()
 
 
 def masked_mse_strokes_v2(pred_points_per_stroke, points_per_stroke,

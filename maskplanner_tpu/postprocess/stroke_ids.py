@@ -73,9 +73,20 @@ def from_stroke_ids_to_masks(stroke_ids, n_masks=None):
 
 def compute_total_path_length(traj_points):
     """Total spatial length of a point-format trajectory (reference
-    standalone/from_pred_to_offline_v2.py ``compute_total_path_length``):
-    sum of consecutive-point distances over the xyz columns."""
-    pts = np.asarray(traj_points)[:, :3]
-    if len(pts) < 2:
+    standalone/from_pred_to_offline_v2.py:244-260): sum of
+    consecutive-point distances over the xyz columns, accumulated per
+    stroke id (column 6) when present — travel moves between strokes do
+    not count."""
+    pts = np.asarray(traj_points, np.float64)
+    if pts.shape[0] < 2:
         return 0.0
-    return float(np.linalg.norm(np.diff(pts, axis=0), axis=1).sum())
+    if pts.ndim == 2 and pts.shape[1] >= 7:
+        total = 0.0
+        for pid in np.unique(pts[:, 6]):
+            stroke = pts[pts[:, 6] == pid, :3]
+            if stroke.shape[0] < 2:
+                continue
+            total += float(np.linalg.norm(np.diff(stroke, axis=0),
+                                          axis=1).sum())
+        return total
+    return float(np.linalg.norm(np.diff(pts[:, :3], axis=0), axis=1).sum())

@@ -57,7 +57,12 @@ def lr_schedule(config, steps_per_epoch: int):
 
     if not milestones:
         return base_lr
-    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
+    # torch.optim.MultiStepLR counts milestone occurrences (a Counter):
+    # a duplicated milestone steps gamma twice that epoch
+    from collections import Counter
+
+    boundaries = {int(m) * steps_per_epoch: gamma ** k
+                  for m, k in Counter(int(m) for m in milestones).items()}
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
