@@ -159,6 +159,15 @@ def main():
     train_step16 = make_train_step(model16, handler, config16)
     step16_ms, _ = time_train_steps(train_step16, state16)
 
+    # bf16 inference throughput (same loop-bench; halves the HBM traffic
+    # of the bandwidth-bound grouped MLPs)
+    variables16 = {"params": state16.params,
+                   "batch_stats": state16.batch_stats}
+    infer16_s = loop_bench(
+        lambda a: model16.apply(variables16, a, train=False).traj, pc,
+        iters=10)
+    pcs_per_sec16 = batch_size / infer16_s
+
     # ---- fused training path (model.norm=layer: the TPU-recommended
     # encoder norm — the whole SA level runs as one Pallas kernel with a
     # recompute VJP, no (B,S,K,C) activations in HBM either direction;
@@ -213,6 +222,7 @@ def main():
         "unit": "pointclouds/s",
         "vs_baseline": 1.0,
         "config": "windows_v2 flagship (pc=5120, out_vectors=450, masks=22)",
+        "inference_pointclouds_per_sec_bf16": round(pcs_per_sec16, 2),
         "train_step_ms_batch64": round(step_ms, 2),
         "train_step_ms_batch64_bf16": round(step16_ms, 2),
         "train_step_ms_batch64_fused": round(fused_ms, 2),

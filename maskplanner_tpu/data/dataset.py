@@ -139,11 +139,15 @@ class PaintDataset:
 
     def item_name(self, index: int) -> str:
         """Stable per-item name for dumps/exports (the reference's
-        ``dirnames``, mesh-dir names for disk data)."""
+        ``dirnames``, mesh-dir names for disk data). Joint-category
+        datasets prefix the category so same-named items from different
+        sources cannot collide in per-name export files."""
         src, local = self._locate(index)
-        if hasattr(src, "samples"):
-            return str(src.samples[local])
-        return f"{self.split}_{local}"
+        base = (str(src.samples[local]) if hasattr(src, "samples")
+                else f"{self.split}_{local}")
+        if len(self.sources) > 1:
+            return f"{self.categories[self.sources.index(src)]}_{base}"
+        return base
 
     def _locate(self, index):
         for src, n in zip(self.sources, self._lengths):

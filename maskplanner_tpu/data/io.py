@@ -347,15 +347,31 @@ class DiskPaintDataset:
         return get_mean_mesh(mesh_file)
 
 
+# centroid/extent are re-read per item materialization (every dataset
+# item centers on its mesh's vertex centroid) — memoize the OBJ parse,
+# it's a full text scan of a 10k+-vertex file per call otherwise
+_MESH_STATS_CACHE: dict = {}
+
+
+def _mesh_vertex_stats(meshpath):
+    key = (os.path.abspath(meshpath), os.path.getmtime(meshpath))
+    hit = _MESH_STATS_CACHE.get(key)
+    if hit is None:
+        if len(_MESH_STATS_CACHE) > 10000:
+            _MESH_STATS_CACHE.clear()
+        v, _ = load_obj(meshpath)
+        c = v.mean(axis=0)
+        r = float(np.sqrt(((v - c) ** 2).sum(axis=1)).max())
+        hit = _MESH_STATS_CACHE[key] = (c, r)
+    return hit
+
+
 def get_mean_mesh(meshpath):
     """Vertex centroid of a mesh file (reference utils/pointcloud.py:24-28)."""
-    v, _ = load_obj(meshpath)
-    return v.mean(axis=0)
+    return _mesh_vertex_stats(meshpath)[0].copy()
 
 
 def get_max_distance(meshpath):
     """Max vertex distance from the mesh centroid — the per-mesh
     normalization scale (reference utils/pointcloud.py:15-21)."""
-    v, _ = load_obj(meshpath)
-    v = v - v.mean(axis=0)
-    return float(np.sqrt((v ** 2).sum(axis=1)).max())
+    return _mesh_vertex_stats(meshpath)[1]

@@ -28,6 +28,12 @@ Known reference defects handled here (see PARITY.md):
   (``orientnorm``/``orientrotvec``). Quaternions would need a
   composition, so ``orientquat`` + rotation augmentation raises here
   instead of silently corrupting labels.
+
+Reference quirk reproduced as-is: under rotation augmentation with
+``lambda_points > 1`` the reference repacks ``traj_as_pc`` into padded
+segment format (paintnet.py:307-308), so augmented items return
+``traj_as_pc`` as (S, outdim*lambda) while unaugmented items keep the
+flat (traj_points, outdim) form.
 """
 from __future__ import annotations
 
@@ -260,9 +266,19 @@ class LegacyPaintDataset:
                                traj_points=self.traj_points,
                                lmbda=self.lambda_points,
                                overlapping=self.overlapping)
+            # the reference ALSO repacks traj_as_pc into padded segment
+            # format here (paintnet.py:307-308) — so augmented lambda>1
+            # items carry traj_as_pc as (S, outdim*lambda) while
+            # unaugmented items keep the flat (traj_points, outdim) form;
+            # reproduced exactly for the 1:1 item-tuple contract
+            traj_as_pc = rot_flat(traj_as_pc)
+            traj_as_pc = add_padding(
+                traj_as_pc.reshape(-1, outdim * self.lambda_points),
+                traj_points=self.traj_points, lmbda=self.lambda_points,
+                overlapping=self.overlapping)
         else:
             traj = rot_flat(traj)
-        traj_as_pc = rot_flat(traj_as_pc)
+            traj_as_pc = rot_flat(traj_as_pc)
         return pc, traj, traj_as_pc
 
     def __getitem__(self, index: int,

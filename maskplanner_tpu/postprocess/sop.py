@@ -7,16 +7,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from .stroke_ids import stable_sigmoid
+
 
 def _sigmoid(x):
-    # overflow-stable: exp only ever sees non-positive arguments
-    x = np.asarray(x, dtype=np.float64)
-    out = np.empty_like(x)
-    pos = x >= 0
-    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
-    ex = np.exp(x[~pos])
-    out[~pos] = ex / (1.0 + ex)
-    return out
+    return stable_sigmoid(x, dtype=np.float64)
 
 
 def unpad_rows(rows: np.ndarray, pad_value: float = -100.0):

@@ -7,12 +7,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def _sigmoid(x):
-    # overflow-stable: exp only ever sees non-positive arguments.
-    # Input precision is preserved (float32 in the drivers) so saturation
-    # ties resolve exactly like the reference's torch float32 sigmoid.
+def stable_sigmoid(x, dtype=None):
+    """Overflow-stable sigmoid (exp only ever sees non-positive args).
+
+    ``dtype=None`` preserves a float input's dtype — float32 saturation
+    ties then resolve exactly like the reference's torch float32 sigmoid;
+    non-float inputs (and explicit ``dtype`` requests) are cast. Shared by
+    every postprocess module that thresholds confidence logits."""
     x = np.asarray(x)
-    if x.dtype.kind != "f":
+    if dtype is not None:
+        x = x.astype(dtype)
+    elif x.dtype.kind != "f":
         x = x.astype(np.float64)
     out = np.empty_like(x)
     pos = x >= 0
@@ -20,6 +25,9 @@ def _sigmoid(x):
     ex = np.exp(x[~pos])
     out[~pos] = ex / (1.0 + ex)
     return out
+
+
+_sigmoid = stable_sigmoid  # module-internal alias (callers below)
 
 
 def process_pred_stroke_masks_to_stroke_ids(

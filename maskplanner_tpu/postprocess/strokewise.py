@@ -11,20 +11,15 @@ from __future__ import annotations
 
 import numpy as np
 
+from .stroke_ids import stable_sigmoid
+
 from ..data.pointcloud import get_dim_traj_points
 
 PAD = -100.0
 
 
 def _sigmoid(x):
-    # overflow-stable: exp only ever sees non-positive arguments
-    x = np.asarray(x, dtype=np.float64)
-    out = np.empty_like(x)
-    pos = x >= 0
-    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
-    ex = np.exp(x[~pos])
-    out[~pos] = ex / (1.0 + ex)
-    return out
+    return stable_sigmoid(x, dtype=np.float64)
 
 
 def postprocess_strokewise_predictions_into_strokes(

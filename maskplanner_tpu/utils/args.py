@@ -43,15 +43,21 @@ def _with_ext(name: str) -> str:
     return stem + ".yaml"
 
 
-def _parse_cli(argv: Sequence[str]) -> Config:
-    """Parse ``k=v`` tokens (dotted keys allowed) into a Config."""
+def _parse_cli(argv: Sequence[str]) -> tuple[Config, list[str]]:
+    """Parse ``k=v`` tokens (dotted keys allowed) into a Config.
+
+    Also returns the list of explicitly-given (dotted) keys, in order —
+    the resume flow needs to distinguish user-typed overrides from
+    default.yaml underlays (both end up in the merged config)."""
     cli = Config()
+    keys: list[str] = []
     for token in argv:
         if "=" not in token:
             continue
         key, _, raw = token.partition("=")
         cli.set_dotted(key.strip(), parse_value(raw))
-    return cli
+        keys.append(key.strip())
+    return cli, keys
 
 
 def _as_list(value):
@@ -73,7 +79,7 @@ def load_args(root: str | None = None, argv: Sequence[str] | None = None) -> Con
     conf_path = root or _PKG_CONFIG_ROOT
     argv = list(sys.argv[1:]) if argv is None else list(argv)
 
-    cli_args = _parse_cli(argv)
+    cli_args, cli_keys = _parse_cli(argv)
 
     # CPU-affinity pinning (reference utils/args.py:68-72); best-effort.
     if "cpu" in cli_args:
@@ -113,4 +119,9 @@ def load_args(root: str | None = None, argv: Sequence[str] | None = None) -> Con
                 conf_args[key] = _as_list(conf_args[key])
             except ValueError:
                 pass
+    # non-serialized attribute (bypasses Config.__setattr__, which routes
+    # into the dict and would leak the key into saved config.yaml files):
+    # which keys the user actually typed on the command line
+    object.__setattr__(conf_args, "cli_overrides",
+                       [k for k in cli_keys if k != "config"])
     return conf_args

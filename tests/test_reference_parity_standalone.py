@@ -32,12 +32,17 @@ from maskplanner_tpu.postprocess import (  # noqa: E402
 
 def _import_ref_script(name, script_argv):
     """Import a reference standalone/ script, patching the module-level
-    ``args = parse_args()`` argparse call."""
+    ``args = parse_args()`` argparse call.
+
+    The reference scripts insert their parent dir (== REFERENCE) into
+    sys.path THEMSELVES at import ("trick to import paintnet_utils",
+    e.g. from_pred_to_offline_v2.py:32-34) — strip every occurrence we
+    didn't start with, or `import train_maskplanner` in later tests
+    resolves to the reference's driver."""
     path = os.path.join(REFERENCE, "standalone", name + ".py")
     argv, sys.argv = sys.argv, ["x"] + script_argv
-    added = REFERENCE not in sys.path
-    if added:
-        sys.path.insert(0, REFERENCE)
+    before = sys.path.count(REFERENCE)
+    sys.path.insert(0, REFERENCE)
     sys.dont_write_bytecode = True
     try:
         spec = importlib.util.spec_from_file_location("ref_" + name, path)
@@ -45,7 +50,7 @@ def _import_ref_script(name, script_argv):
         spec.loader.exec_module(mod)
     finally:
         sys.argv = argv
-        if added and REFERENCE in sys.path:
+        while sys.path.count(REFERENCE) > before:
             sys.path.remove(REFERENCE)
     return mod
 

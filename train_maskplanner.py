@@ -49,7 +49,6 @@ def get_output_dir(config):
 
 def main(config=None):
     config = config or load_args()
-    rng = set_seed(config.get("seed"))
 
     # resume=<run_dir> reuses an existing run directory (a bare
     # resume=true would land in a fresh timestamped dir and silently
@@ -67,18 +66,30 @@ def main(config=None):
         # restore the run's frozen config: a resume invocation that omits
         # the original CLI overrides must not silently retrain (or rewrite
         # the run record that test/render drivers later load) with
-        # different hyper-parameters; only run-control keys carry over
+        # different hyper-parameters. Only keys the user explicitly typed
+        # on THIS invocation carry over — the merged config also contains
+        # default.yaml underlays, which must not shadow the frozen values.
         frozen = load_config(os.path.join(run_dir, "config.yaml"))
-        for key in ("wandb", "output_dir", "epochs"):
-            if key in config and config.get(key) != frozen.get(key):
-                frozen[key] = config[key]
+        carried = [k for k in getattr(config, "cli_overrides", [])
+                   if k not in ("resume", "default")]
+        for key in carried:
+            frozen.set_dotted(key, config.select(key))
         config = frozen
+        if carried:
+            # keep the run record truthful: explicitly-overridden keys
+            # (e.g. an extended epoch budget) become part of the frozen
+            # config the test/render drivers later load
+            save_config(config, run_dir)
         config["resume"] = True
     else:
         run_name = get_run_name(config)
         run_dir = create_dirs(os.path.join(get_output_dir(config), run_name))
         save_config(config, run_dir)
     print(f"Run dir: {run_dir}")
+
+    # seed AFTER the frozen-config restore: a resumed run must continue
+    # with the run's own recorded seed, not the default
+    rng = set_seed(config.get("seed"))
 
     wandb_mode = "disabled" if (config.get("debug") or
                                 config.get("wandb") == "disabled") else config.get("wandb", "disabled")
