@@ -219,3 +219,38 @@ class TestDeviceDatasetEligibility:
         cfg = tiny_config(tmp_path, resume="no/such/run")
         with pytest.raises(ValueError, match="no such run directory"):
             train_maskplanner.main(cfg)
+
+    def test_restore_frozen_config_override_semantics(self, tmp_path):
+        """Plain resume preserves the frozen run config exactly (defaults
+        must not shadow it); explicitly-typed CLI keys carry over and are
+        persisted back to the run record."""
+        from maskplanner_tpu.utils.args import load_args
+        from maskplanner_tpu.utils.config import load_config, save_config
+        import train_maskplanner
+
+        run_dir = tmp_path / "run"
+        run_dir.mkdir()
+        frozen = load_args(argv=[
+            "config=[maskplanner,cuboids_v2,longx_v2,debug]",
+            "pc_points=64", "epochs=7", "seed=3"])
+        save_config(frozen, str(run_dir))
+
+        # plain resume: nothing typed except resume= -> frozen wins,
+        # even though the merged invocation config carries default epochs
+        cfg = load_args(argv=[f"resume={run_dir}"])
+        restored = train_maskplanner.restore_frozen_config(cfg, str(run_dir))
+        assert restored["epochs"] == 7
+        assert restored["pc_points"] == 64
+        assert restored["seed"] == 3
+        assert restored["resume"] is True
+
+        # explicit override: typed keys replace frozen values and are
+        # persisted; untyped keys still come from the frozen record
+        cfg2 = load_args(argv=[f"resume={run_dir}", "epochs=9"])
+        restored2 = train_maskplanner.restore_frozen_config(cfg2,
+                                                            str(run_dir))
+        assert restored2["epochs"] == 9
+        assert restored2["pc_points"] == 64
+        on_disk = load_config(str(run_dir))
+        assert on_disk["epochs"] == 9
+        assert on_disk.get("resume") is not True  # record stays loadable

@@ -47,6 +47,23 @@ def get_output_dir(config):
     return config.get("output_dir") or os.environ.get("WORKDIR") or "runs"
 
 
+def restore_frozen_config(config, run_dir):
+    """Resume-time config restore: the run's frozen config.yaml wins,
+    EXCEPT keys the user explicitly typed on this invocation (the merged
+    config also contains default.yaml underlays, which must not shadow
+    the frozen values). Carried overrides are persisted so the run
+    record stays truthful for the test/render drivers."""
+    frozen = load_config(os.path.join(run_dir, "config.yaml"))
+    carried = [k for k in getattr(config, "cli_overrides", [])
+               if k not in ("resume", "default")]
+    for key in carried:
+        frozen.set_dotted(key, config.select(key))
+    if carried:
+        save_config(frozen, run_dir)
+    frozen["resume"] = True
+    return frozen
+
+
 def main(config=None):
     config = config or load_args()
 
@@ -63,24 +80,7 @@ def main(config=None):
             raise ValueError(f"resume={resume_arg!r}: no such run directory")
     if resume_dir is not None:
         run_dir = resume_dir
-        # restore the run's frozen config: a resume invocation that omits
-        # the original CLI overrides must not silently retrain (or rewrite
-        # the run record that test/render drivers later load) with
-        # different hyper-parameters. Only keys the user explicitly typed
-        # on THIS invocation carry over — the merged config also contains
-        # default.yaml underlays, which must not shadow the frozen values.
-        frozen = load_config(os.path.join(run_dir, "config.yaml"))
-        carried = [k for k in getattr(config, "cli_overrides", [])
-                   if k not in ("resume", "default")]
-        for key in carried:
-            frozen.set_dotted(key, config.select(key))
-        config = frozen
-        if carried:
-            # keep the run record truthful: explicitly-overridden keys
-            # (e.g. an extended epoch budget) become part of the frozen
-            # config the test/render drivers later load
-            save_config(config, run_dir)
-        config["resume"] = True
+        config = restore_frozen_config(config, run_dir)
     else:
         run_name = get_run_name(config)
         run_dir = create_dirs(os.path.join(get_output_dir(config), run_name))
