@@ -36,8 +36,11 @@ def device_dataset_eligible(config, n_devices: int,
     flag = str(config.get("device_dataset", "auto")).lower()
     if flag == "false":
         return False
-    if n_devices > 1 and batch_size is not None \
-            and batch_size % n_devices != 0:
+    if n_devices > 1 and (batch_size is None
+                          or batch_size % n_devices != 0):
+        # unknown batch size cannot prove divisibility over the mesh —
+        # stay on the per-step host loader rather than risk a trace-time
+        # sharding failure inside the scanned epoch
         return False
     if config.get("augmentations"):
         return False

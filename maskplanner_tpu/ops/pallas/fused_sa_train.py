@@ -157,6 +157,12 @@ def _select_neighbours(q, xt, radius2: float, K: int, TS: int, N: int,
     jax.lax.fori_loop(
         0, K, body,
         (jnp.full((TS, 1), -1.0, jnp.float32), jnp.zeros((TS,), jnp.float32)))
+    if K < idx_ref.shape[1]:
+        # idx is padded to a multiple of 8 rows: initialize the pad so
+        # the jit output (and VJP residual) is deterministic VMEM, not
+        # whatever the block held before
+        idx_ref[0, K:, :] = jnp.zeros((idx_ref.shape[1] - K, TS),
+                                      jnp.float32)
 
 
 class _Gather:

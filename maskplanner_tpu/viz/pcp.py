@@ -72,10 +72,12 @@ def _auto_limits(mat, n_cols, ylim):
         lim = list(ylim[i]) if i < len(ylim) and ylim[i] else []
         if not lim:
             lim = [float(mat[i].min()), float(mat[i].max())]
-            if lim[0] == lim[1]:
-                lim = [lim[0] * 0.95, lim[1] * 1.05]
-            if lim == [0.0, 0.0]:
-                lim = [0.0, 1.0]
+        if lim[0] == lim[1]:
+            # constant column (or degenerate caller-supplied limits):
+            # widen symmetrically so downstream divisions stay finite
+            # and the range never inverts for negative values
+            pad = max(abs(lim[0]) * 0.05, 0.5)
+            lim = [lim[0] - pad, lim[1] + pad]
         out.append(lim)
     return out
 
@@ -130,7 +132,12 @@ def pcp(data, labels, ytype=None, ylim=None, ylabels=None,
                                                      - np.log10(lo))
         else:
             t = (mat[i] - lo) / (hi - lo)
-        scaled[i] = t * (hi0 - lo0) + lo0
+        if ytypes[0] == "log":
+            # ax0 renders values through a log transform: invert it so
+            # pixel fraction t lands at the right height on ax0
+            scaled[i] = lo0 * (hi0 / lo0) ** t
+        else:
+            scaled[i] = t * (hi0 - lo0) + lo0
 
     left, bottom, width, height = rect
     fig = plt.figure(figsize=figsize)

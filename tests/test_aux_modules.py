@@ -116,3 +116,43 @@ class TestPCP:
         parallel_coordinates_plot(data, ["lr", "epochs", "pcd"],
                                   color_by="pcd", save_path=str(out))
         assert out.stat().st_size > 0
+
+    def test_degenerate_limits_stay_finite(self):
+        """Constant columns (incl. negative) and lo==hi caller limits
+        must neither divide by zero nor invert the range."""
+        import numpy as np
+        import matplotlib
+        matplotlib.use("Agg")
+        from maskplanner_tpu.viz.pcp import _auto_limits, pcp
+
+        mat = np.array([[-10.0, -10.0], [0.0, 0.0], [5.0, 5.0]])
+        lims = _auto_limits(mat, 3, None)
+        for lo, hi in lims:
+            assert hi > lo
+        lims2 = _auto_limits(mat, 3, [[1.0, 2.0], [], [5.0, 5.0]])
+        assert lims2[0] == [1.0, 2.0] and lims2[2][1] > lims2[2][0]
+
+        fig = pcp([[-10.0, 0.0, 5.0], [-10.0, 1.0, 5.0]],
+                  ["a", "b", "obj"])
+        import matplotlib.pyplot as plt
+        plt.close(fig)
+
+    def test_log_first_axis_maps_through_ax0_transform(self):
+        """Secondary columns on a log-scaled first axis must land at
+        the pixel height their own twin-axis ticks claim (t fraction of
+        the log range, not of the linear range)."""
+        import numpy as np
+        from maskplanner_tpu.viz.pcp import pcp
+        import matplotlib.pyplot as plt
+
+        # col0 log in [1, 100]; col1 linear in [0, 10]. A col1 value of
+        # 5.0 (t=0.5) must render at sqrt(1*100)=10 in ax0 data coords.
+        fig = pcp([[1.0, 0.0, 1.0], [100.0, 5.0, 2.0],
+                   [10.0, 10.0, 3.0]],
+                  ["a", "b", "obj"], ytype=["log", [], []],
+                  curves=False)
+        ax0 = fig.axes[0]
+        line = ax0.lines[1]  # second run: [100.0, 5.0, 2.0]
+        y_col1 = line.get_ydata()[1]
+        assert np.isclose(y_col1, 10.0, rtol=1e-6), y_col1
+        plt.close(fig)

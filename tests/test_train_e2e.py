@@ -204,6 +204,8 @@ class TestDeviceDatasetEligibility:
         # (the scan body re-shards each batch onto the data axis)
         assert device_dataset_eligible(cfg, n_devices=8, batch_size=16)
         assert not device_dataset_eligible(cfg, n_devices=8, batch_size=6)
+        # unknown batch size cannot prove divisibility -> ineligible
+        assert not device_dataset_eligible(cfg, n_devices=8)
         cfg2 = tiny_config(tmp_path, augmentations="[pc_online_subsampling]")
         assert not device_dataset_eligible(cfg2, n_devices=1)
         cfg3 = tiny_config(tmp_path)
