@@ -53,10 +53,46 @@ def _cost_analysis(jitted, *args):
         return None, None
 
 
+def _require_backend(timeout_s: float = 600.0):
+    """Fail fast (honestly) if the axon TPU tunnel is wedged.
+
+    ``jax.devices()`` blocks indefinitely in ``make_c_api_client`` when
+    the remote pool holds a stale claim (observed after a SIGKILLed
+    client). A hung bench records nothing; an explicit error line tells
+    the driver what happened instead.
+    """
+    import threading
+
+    import jax
+
+    out = {}
+
+    def init():
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "inference_pointclouds_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "pointclouds/s",
+            "vs_baseline": 0.0,
+            "error": f"jax backend init did not complete within "
+                     f"{timeout_s:.0f}s (TPU tunnel unavailable); "
+                     f"no measurements taken",
+        }))
+        raise SystemExit(1)
+    return out["devices"]
+
+
 def main():
     import jax
 
     from maskplanner_tpu.utils.args import load_args
+
+    _require_backend()
     from maskplanner_tpu.data.dataset import PaintDataset, DataLoader
     from maskplanner_tpu.losses import LossHandler
     from maskplanner_tpu.models import get_model
