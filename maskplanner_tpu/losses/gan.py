@@ -100,6 +100,27 @@ class AdversarialLoss:
             return out, mutated["batch_stats"]
         return self.module.apply(variables, x, **kwargs), batch_stats
 
+    def gradient_penalty(self, params, batch_stats, real, fake, eps, rng=None):
+        """WGAN-GP Lipschitz penalty at ``eps·real + (1−eps)·fake``
+        (gradient_penalty.py:22-40; the reference mixes as
+        ``real + α·(fake−real)`` — identical with α = 1−eps)."""
+        interp = eps * real + (1 - eps) * fake
+
+        def critic(z):
+            # whole-batch apply, like the reference's autograd.grad of
+            # d(interpolates) with ones grad_outputs
+            # (gradient_penalty.py:22-31): per-sample application with
+            # train-mode BatchNorm sees a batch of 1, whose post-pool
+            # BN output is constant in the input — grad ≈ 0 and the
+            # Lipschitz penalty never acts
+            out, _ = self._apply(params, batch_stats, z, True, rng)
+            return out.sum()
+
+        grads = jax.grad(critic)(interp)
+        gnorm = jnp.sqrt(
+            (grads.reshape(grads.shape[0], -1) ** 2).sum(-1) + 1e-12)
+        return self.lambda_gp * ((gnorm - 1.0) ** 2).mean()
+
     # -- discriminator update (runs outside the generator grad) ------------
     def discriminator_update(self, d_state: DState, y_pred, y, rng):
         """One (or train_iter) discriminator optimizer steps; returns
@@ -121,22 +142,7 @@ class AdversarialLoss:
 
             eps_shape = (real.shape[0],) + (1,) * (real.ndim - 1)
             eps = jax.random.uniform(rng, eps_shape)
-            interp = eps * real + (1 - eps) * fake
-
-            def critic(z):
-                # whole-batch apply, like the reference's autograd.grad of
-                # d(interpolates) with ones grad_outputs
-                # (gradient_penalty.py:22-31): per-sample application with
-                # train-mode BatchNorm sees a batch of 1, whose post-pool
-                # BN output is constant in the input — grad ≈ 0 and the
-                # Lipschitz penalty never acts
-                out, _ = self._apply(params, bs, z, True, rng)
-                return out.sum()
-
-            grads = jax.grad(critic)(interp)
-            gnorm = jnp.sqrt(
-                (grads.reshape(grads.shape[0], -1) ** 2).sum(-1) + 1e-12)
-            gp = self.lambda_gp * ((gnorm - 1.0) ** 2).mean()
+            gp = self.gradient_penalty(params, bs, real, fake, eps, rng)
             return w_loss + gp, bs
 
         def one_step(carry, rng_i):

@@ -225,6 +225,25 @@ def install_stubs():
     torch.Tensor.to = _to  # type: ignore[assignment]
     torch.Tensor.get_device = lambda self: "cpu"  # type: ignore[assignment]
 
+    # The GAN/contrastive paths construct tensors *on* cuda directly:
+    # ``torch.arange(..., device=torch.device('cuda'))`` (dgcnn.py:104-106),
+    # ``torch.zeros(..., device='cuda')`` and ``torch.cuda.FloatTensor``
+    # (loss_handler.py:511-518). Coerce the device kwarg at the factory
+    # functions and alias the cuda tensor type so those run on CPU too.
+    if not torch.cuda.is_available():
+        torch.cuda.FloatTensor = torch.FloatTensor  # type: ignore[attr-defined]
+
+        def _coerce_factory(orig):
+            def f(*a, **k):
+                if "device" in k:
+                    k["device"] = _cpu_device(k["device"])
+                return orig(*a, **k)
+            return f
+
+        for _fname in ("zeros", "ones", "arange", "rand", "randn",
+                       "empty", "full"):
+            setattr(torch, _fname, _coerce_factory(getattr(torch, _fname)))
+
     stubs = {}
     stubs.update(_make_pytorch3d_stub(torch))
     stubs.update(_make_omegaconf_stub())
