@@ -165,6 +165,41 @@ class TestHeadConversion:
                                    rtol=2e-5, atol=2e-5)
 
 
+class TestFullForwardParity:
+    def test_full_model_forward_matches_reference(self, converted):
+        """Whole-model eval forward vs the reference's own torch forward
+        (models/pointnet2_cls_ssg.py:297-344) with a transplanted
+        state_dict: encoder (FPS start pinned to 0 on both sides — the
+        reference's only stochastic op, pointnet2_utils.py:77), all three
+        SA levels, and every head, compared on the full 4-tuple output."""
+        from unittest import mock
+
+        ref, params, stats, _ = converted
+        model = _flax_model()
+        rng = np.random.default_rng(11)
+        pc = rng.normal(size=(2, 1024, 3)).astype(np.float32)
+
+        def zero_randint(*a, **kw):
+            size = next((x for x in a if isinstance(x, (tuple, torch.Size))),
+                        kw.get("size"))
+            return torch.zeros(size, dtype=kw.get("dtype", torch.long))
+
+        with torch.no_grad(), \
+                mock.patch.object(torch, "randint", zero_randint):
+            t_out, t_sm, t_mc, t_sc = ref(torch.from_numpy(pc).permute(0, 2, 1))
+
+        out = model.apply({"params": params, "batch_stats": stats},
+                          jnp.asarray(pc), train=False)
+        np.testing.assert_allclose(np.asarray(out.traj), t_out.numpy(),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.stroke_masks),
+                                   t_sm.numpy(), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.mask_scores),
+                                   t_mc.numpy(), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.seg_conf),
+                                   t_sc.numpy(), rtol=2e-4, atol=2e-4)
+
+
 class TestLoadModes:
     def _state(self):
         model = _flax_model()
