@@ -179,6 +179,18 @@ def load_object(filepath: str):
 # Mesh loading + surface sampling (point_cloud_utils replacement)
 # ---------------------------------------------------------------------------
 
+def find_mesh(meshes_root: str, name: str) -> str:
+    """Resolve an item's mesh under a category root: the on-disk layout
+    keeps ``<name>/<name>.obj``; flat ``<name>.obj`` is accepted too
+    (single source for this rule — used by the render driver and the
+    spray-sim tool)."""
+    for cand in (os.path.join(meshes_root, name, f"{name}.obj"),
+                 os.path.join(meshes_root, f"{name}.obj")):
+        if os.path.isfile(cand):
+            return cand
+    raise FileNotFoundError(f"no mesh for {name} under {meshes_root}")
+
+
 def load_obj(filename: str):
     """Minimal OBJ loader: vertices + triangulated faces."""
     verts, faces = [], []

@@ -294,7 +294,8 @@ class LegacyPaintDataset:
             if len(self._cache) < self.cache_size:
                 self._cache[index] = (pc, traj, traj_as_pc, stroke_ids,
                                       dirname)
-        pc, traj, traj_as_pc = pc.copy(), traj.copy(), traj_as_pc.copy()
+        pc, traj, traj_as_pc, stroke_ids = (
+            pc.copy(), traj.copy(), traj_as_pc.copy(), stroke_ids.copy())
         if self.augmentations and not self.stroke_pred:
             pc, traj, traj_as_pc = self._augment(pc, traj, traj_as_pc)
         return pc, traj, traj_as_pc, stroke_ids, dirname

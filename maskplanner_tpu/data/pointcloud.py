@@ -332,13 +332,17 @@ def downsample_strokes(traj, stroke_ids, n_points):
     """Uniformly subsample each stroke to n_points
     (reference utils/pointcloud.py:524-549).
 
-    Matches the reference exactly: strokes with length <= n_points are
-    DROPPED (no upsampling), surviving strokes are renumbered 0..c-1,
-    and the outputs are stacked per stroke — traj (c, n_points, D),
-    ids (c, n_points)."""
+    Matches the reference exactly on unpadded input: strokes with length
+    <= n_points are DROPPED (no upsampling), surviving strokes are
+    renumbered 0..c-1, and the outputs are stacked per stroke —
+    traj (c, n_points, D), ids (c, n_points). Padding rows (id < 0, this
+    repo's convention) are ignored rather than emitted as a fake stroke;
+    the reference only ever sees unpadded data here."""
     outs, ids = [], []
     c = 0
     for sid in np.unique(stroke_ids):
+        if sid < 0:
+            continue
         stroke = traj[stroke_ids == sid]
         if stroke.shape[0] <= n_points:
             continue

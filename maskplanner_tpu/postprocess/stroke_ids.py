@@ -79,19 +79,25 @@ def from_stroke_ids_to_masks(stroke_ids, n_masks=None):
     return (ids[None, :] == np.arange(n)[:, None]).astype(np.float64)
 
 
-def compute_total_path_length(traj_points):
+def compute_total_path_length(traj_points, stroke_id_col=6):
     """Total spatial length of a point-format trajectory (reference
     standalone/from_pred_to_offline_v2.py:244-260): sum of
     consecutive-point distances over the xyz columns, accumulated per
-    stroke id (column 6) when present — travel moves between strokes do
-    not count."""
+    stroke id so travel moves between strokes do not count.
+
+    ``stroke_id_col`` names the stroke-id column (the reference's
+    trajectory.txt format keeps it at index 6). It is only honored when
+    the array is wide enough; pass ``stroke_id_col=None`` for pure pose
+    rows with no id column — a width heuristic alone cannot tell a
+    7-column X..C+strokeId row from a 7-column xyz+orientquat pose."""
     pts = np.asarray(traj_points, np.float64)
     if pts.shape[0] < 2:
         return 0.0
-    if pts.ndim == 2 and pts.shape[1] >= 7:
+    if (stroke_id_col is not None and pts.ndim == 2
+            and pts.shape[1] > stroke_id_col):
         total = 0.0
-        for pid in np.unique(pts[:, 6]):
-            stroke = pts[pts[:, 6] == pid, :3]
+        for pid in np.unique(pts[:, stroke_id_col]):
+            stroke = pts[pts[:, stroke_id_col] == pid, :3]
             if stroke.shape[0] < 2:
                 continue
             total += float(np.linalg.norm(np.diff(stroke, axis=0),

@@ -65,7 +65,7 @@ def _auto_category_labels(data, n_cols, ytypes, ylabels):
     return out
 
 
-def _auto_limits(mat, n_cols, ylim):
+def _auto_limits(mat, n_cols, ylim, ytypes):
     ylim = list(ylim) if ylim else [[]] * n_cols
     out = []
     for i in range(n_cols):
@@ -74,10 +74,14 @@ def _auto_limits(mat, n_cols, ylim):
             lim = [float(mat[i].min()), float(mat[i].max())]
         if lim[0] == lim[1]:
             # constant column (or degenerate caller-supplied limits):
-            # widen symmetrically so downstream divisions stay finite
-            # and the range never inverts for negative values
-            pad = max(abs(lim[0]) * 0.05, 0.5)
-            lim = [lim[0] - pad, lim[1] + pad]
+            # widen so downstream divisions stay finite; log axes must
+            # widen multiplicatively — an additive pad can push the
+            # lower limit nonpositive, poisoning log10 below
+            if ytypes[i] == "log" and lim[0] > 0:
+                lim = [lim[0] / 1.1, lim[1] * 1.1]
+            else:
+                pad = max(abs(lim[0]) * 0.05, 0.5)
+                lim = [lim[0] - pad, lim[1] + pad]
         out.append(lim)
     return out
 
@@ -118,7 +122,7 @@ def pcp(data, labels, ytype=None, ylim=None, ylabels=None,
             mat[i, j] = (cat_labels[i].index(row[i])
                          if ytypes[i] == "categorial" else float(row[i]))
 
-    lims = _auto_limits(mat, n_cols, ylim)
+    lims = _auto_limits(mat, n_cols, ylim, ytypes)
     lo_last, hi_last = lims[-1]
     score = (mat[-1] - lo_last) / (hi_last - lo_last)
 

@@ -60,16 +60,16 @@ def parse_args():
 
 def render_coverage(args, name, out_path):
     """Coverage-colored side-by-side GT/pred mesh figure for one item."""
-    from maskplanner_tpu.data.io import load_obj
+    from maskplanner_tpu.data.io import find_mesh, load_obj
     from maskplanner_tpu.viz.render import visualize_coverage_mesh
 
-    mesh = os.path.join(args.coverage_meshes, name, f"{name}.obj")
-    if not os.path.isfile(mesh):
-        mesh = os.path.join(args.coverage_meshes, f"{name}.obj")
+    try:
+        mesh = find_mesh(args.coverage_meshes, name)
+    except FileNotFoundError:
+        return None
     gt_csv = os.path.join(args.thickness_gt, f"{name}.txt")
     pred_csv = os.path.join(args.thickness_pred, f"{name}.txt")
-    if not (os.path.isfile(mesh) and os.path.isfile(gt_csv)
-            and os.path.isfile(pred_csv)):
+    if not (os.path.isfile(gt_csv) and os.path.isfile(pred_csv)):
         return None
     verts, faces = load_obj(mesh)
     gt_t = np.genfromtxt(gt_csv, delimiter=";")

@@ -24,6 +24,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from maskplanner_tpu.data.io import find_mesh  # noqa: E402
 from maskplanner_tpu.sim import simulate_program  # noqa: E402
 
 
@@ -38,14 +39,6 @@ def parse_args():
     p.add_argument("--sigma_deg", type=float, default=12.0)
     p.add_argument("--cone_deg", type=float, default=30.0)
     return p.parse_args()
-
-
-def find_mesh(meshes_root: str, name: str) -> str:
-    for cand in (os.path.join(meshes_root, name, f"{name}.obj"),
-                 os.path.join(meshes_root, f"{name}.obj")):
-        if os.path.isfile(cand):
-            return cand
-    raise FileNotFoundError(f"no mesh for {name} under {meshes_root}")
 
 
 def main():

@@ -126,15 +126,37 @@ class TestPCP:
         from maskplanner_tpu.viz.pcp import _auto_limits, pcp
 
         mat = np.array([[-10.0, -10.0], [0.0, 0.0], [5.0, 5.0]])
-        lims = _auto_limits(mat, 3, None)
+        lin = [[]] * 3
+        lims = _auto_limits(mat, 3, None, lin)
         for lo, hi in lims:
             assert hi > lo
-        lims2 = _auto_limits(mat, 3, [[1.0, 2.0], [], [5.0, 5.0]])
+        lims2 = _auto_limits(mat, 3, [[1.0, 2.0], [], [5.0, 5.0]], lin)
         assert lims2[0] == [1.0, 2.0] and lims2[2][1] > lims2[2][0]
 
         fig = pcp([[-10.0, 0.0, 5.0], [-10.0, 1.0, 5.0]],
                   ["a", "b", "obj"])
         import matplotlib.pyplot as plt
+        plt.close(fig)
+
+    def test_log_axis_constant_column_stays_positive(self):
+        """A constant column on a log-typed axis must widen
+        multiplicatively: an additive pad would push the lower limit
+        nonpositive and poison log10 (NaN curves / matplotlib errors)."""
+        import numpy as np
+        import matplotlib
+        matplotlib.use("Agg")
+        from maskplanner_tpu.viz.pcp import _auto_limits, pcp
+        import matplotlib.pyplot as plt
+
+        mat = np.array([[1e-3, 1e-3]])
+        (lo, hi), = _auto_limits(mat, 1, None, ["log"])
+        assert 0 < lo < 1e-3 < hi
+
+        # end to end: every sweep run used lr=1e-3 on a log axis
+        fig = pcp([[1e-3, 0.0, 1.0], [1e-3, 5.0, 2.0]],
+                  ["lr", "b", "obj"], ytype=["log", [], []], curves=False)
+        for line in fig.axes[0].lines:
+            assert np.isfinite(line.get_ydata()).all()
         plt.close(fig)
 
     def test_log_first_axis_maps_through_ax0_transform(self):

@@ -56,6 +56,15 @@ class TestLegacyItem:
         np.testing.assert_allclose(a[0], b[0])
         np.testing.assert_allclose(a[1], b[1])
 
+    def test_caller_mutation_does_not_corrupt_cache(self, legacy_root):
+        ds = make(legacy_root)
+        a = ds[1]
+        for arr in a[:4]:  # pc, traj, traj_as_pc, stroke_ids
+            np.asarray(arr)[...] = -7
+        b = ds[1]
+        assert not np.all(b[3] == -7), "cached stroke_ids were aliased"
+        assert not np.allclose(b[0], -7)
+
     def test_normalization_none_keeps_scale(self, legacy_root):
         import os
 

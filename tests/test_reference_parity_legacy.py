@@ -47,6 +47,19 @@ class TestDownsampleStrokesParity:
         assert m_traj.shape == (2, 8, 6)
         assert m_ids.shape == (2, 8)
 
+    def test_padding_rows_never_become_a_stroke(self):
+        """This repo's padded convention (id -1 / pose -100) must be
+        ignored, not renumbered into a fake stroke of pad rows (the
+        reference only ever sees unpadded data here)."""
+        rng = np.random.default_rng(1)
+        traj, ids = _multi_stroke_traj(rng, (30, 40))
+        pad = np.full((25, 6), -100.0)
+        m_traj, m_ids = mp_pc.downsample_strokes(
+            np.concatenate([traj, pad]),
+            np.concatenate([ids, np.full(25, -1)]), 8)
+        assert m_traj.shape == (2, 8, 6)
+        assert not np.any(m_traj == -100.0)
+
 
 class TestGetVelocitiesParity:
     @pytest.mark.parametrize("lengths", [(60,), (40, 30), (10, 20, 30)])

@@ -101,6 +101,21 @@ class TestTrainDriver:
         # frozen run config round-trips the flag for test/render drivers
         assert load_config(run_dir)["model"]["bf16"] is True
 
+    def test_no_save_still_tracks_best_epoch(self, tmp_path):
+        """no_save skips checkpoint writes, but best-epoch stats are
+        still tracked — the reference only deletes checkpoints at the
+        end under no_save (train_maskplanner.py:263-270,366-367), it
+        reports the true best epoch either way."""
+        import json
+        import train_maskplanner
+
+        cfg = tiny_config(tmp_path, no_save="true")
+        run_dir, _ = train_maskplanner.main(cfg)
+        assert not os.path.isdir(os.path.join(run_dir, "last_checkpoint"))
+        summary = json.load(open(os.path.join(run_dir, "summary.json")))
+        assert summary["best_epoch"] in (2, 4)
+        assert np.isfinite(summary["best_eval_loss"])
+
     @pytest.mark.slow
     def test_overfitting_mode_converges(self, tmp_path):
         """Learning-sanity harness: overfitting=true trains on a single

@@ -298,14 +298,20 @@ def main(config=None):
             log.update({"eval_loss": eval_loss})
             log.update({f"{k}_eval_loss": v for k, v in eval_terms.items()})
             log.update(eval_metrics)
+            # best-epoch stats are tracked regardless of no_save — the
+            # reference only skips the final dumps / deletes checkpoints
+            # under no_save (train_maskplanner.py:263-270,366-367), it
+            # still reports the true best epoch
+            is_best = eval_loss < best_eval_loss
+            if is_best:
+                best_eval_loss, best_epoch = eval_loss, epoch + 1
             if not config.get("no_save"):
                 checkpoints.save_checkpoint(run_dir, "last_checkpoint", state,
                                             epoch + 1, epoch_loss)
                 if d_state is not None:
                     checkpoints.save_aux_state(run_dir, "last_checkpoint",
                                                d_state)
-                if eval_loss < best_eval_loss:
-                    best_eval_loss, best_epoch = eval_loss, epoch + 1
+                if is_best:
                     checkpoints.copy_checkpoint(run_dir, "last_checkpoint",
                                                 "best_model")
                 if (config.get("save_intermediate_models")
