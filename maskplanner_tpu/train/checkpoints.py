@@ -99,6 +99,19 @@ def checkpoint_exists(run_dir: str, name: str) -> bool:
     return os.path.isdir(os.path.join(run_dir, name))
 
 
+def checkpoint_name(model: str) -> str:
+    """CLI checkpoint selector -> on-disk name (reference
+    test_maskplanner.py:162-173): best | last | intermediate_epochN."""
+    if model == "best":
+        return "best_model"
+    if model == "last":
+        return "last_checkpoint"
+    if model.startswith("intermediate"):
+        return f"intermediate_checkpoint_{model.split('_', 1)[1]}" \
+            if "_" in model else model
+    return model
+
+
 def save_aux_state(run_dir: str, name: str, aux: Any):
     """Save an auxiliary pytree (e.g. GAN discriminator state) alongside a
     checkpoint, under ``<name>_aux``."""

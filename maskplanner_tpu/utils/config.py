@@ -124,6 +124,24 @@ def save_config(config: Config | Mapping, path: str):
         yaml.safe_dump(data, f, default_flow_style=None, sort_keys=False)
 
 
+def apply_retrocompat_defaults(config: Config) -> Config:
+    """Default keys absent in old run configs
+    (reference test_maskplanner.py:86-101)."""
+    defaults = {
+        "traj_with_equally_spaced_points": False,
+        "equal_in_3d_space": False,
+        "per_segment_confidence": False,
+        "smooth_target_stroke_masks": False,
+        "data_scale_factor": None,
+        "augmentations": [],
+        "overfitting": False,
+    }
+    for k, v in defaults.items():
+        if k not in config:
+            config[k] = v
+    return config
+
+
 def parse_value(text: str) -> Any:
     """Parse a CLI value string using YAML semantics.
 

@@ -47,33 +47,9 @@ def parse_args():
     return p.parse_args()
 
 
-def apply_retrocompat_defaults(config):
-    """Default keys absent in old run configs
-    (reference test_maskplanner.py:86-101)."""
-    defaults = {
-        "traj_with_equally_spaced_points": False,
-        "equal_in_3d_space": False,
-        "per_segment_confidence": False,
-        "smooth_target_stroke_masks": False,
-        "data_scale_factor": None,
-        "augmentations": [],
-        "overfitting": False,
-    }
-    for k, v in defaults.items():
-        if k not in config:
-            config[k] = v
-    return config
-
-
-def checkpoint_name(model: str) -> str:
-    if model == "best":
-        return "best_model"
-    if model == "last":
-        return "last_checkpoint"
-    if model.startswith("intermediate"):
-        return f"intermediate_checkpoint_{model.split('_', 1)[1]}" \
-            if "_" in model else model
-    return model
+# shared with the serving layer (maskplanner_tpu/serve.py)
+from maskplanner_tpu.utils.config import apply_retrocompat_defaults  # noqa: E402,F401
+from maskplanner_tpu.train.checkpoints import checkpoint_name  # noqa: E402,F401
 
 
 def main():
