@@ -208,13 +208,19 @@ def load_obj(filename: str):
 
 
 def sample_mesh_surface(v: np.ndarray, f: np.ndarray, n_points: int,
-                        seed: int = 0, poisson: bool = True):
+                        seed: int = 0, poisson: bool = True,
+                        return_face_idx: bool = False):
     """Approximate Poisson-disk surface sampling.
 
     Area-weighted barycentric oversampling (4×) followed by greedy
     dart-throwing thinning at the radius implied by the target density —
     the same blue-noise contract as pcu.sample_mesh_poisson_disk
     (reference utils/disk.py:274-288) without the C++ dependency.
+    Measured characterization (spacing, uniformity, throughput):
+    docs/sampler.md / scripts/sampler_characterization.py.
+
+    ``return_face_idx`` additionally returns each sample's source
+    triangle (characterization / exact-ownership consumers).
     """
     rng = np.random.default_rng(seed)
     tri = v[f]  # (F, 3, 3)
@@ -230,7 +236,7 @@ def sample_mesh_surface(v: np.ndarray, f: np.ndarray, n_points: int,
     bary = np.stack([1 - su, su * (1 - r2), su * r2], axis=1)
     pts = (tri[face_idx] * bary[:, :, None]).sum(axis=1)
     if not poisson:
-        return pts
+        return (pts, face_idx) if return_face_idx else pts
 
     # dart throwing: grid hash at radius r = sqrt(area / (2·n)); cell
     # edge r/sqrt(3) holds at most one accepted point, and two points
@@ -263,6 +269,8 @@ def sample_mesh_surface(v: np.ndarray, f: np.ndarray, n_points: int,
             chosen.append(i)
             if len(chosen) >= n_points:
                 break
+    if return_face_idx:
+        return pts[chosen], face_idx[chosen]
     return pts[chosen]
 
 

@@ -48,13 +48,21 @@ def concat_segments_of_stroke(traj: np.ndarray, stroke_ids, config,
         return traj.copy()
     k = min(n, KNN)
 
+    # native fast path: endpoint features + kNN digraph + C++
+    # Chu-Liu/Edmonds + longest path in ONE call (the Python graph build
+    # dominated the per-stroke cost once Edmonds itself was native)
+    from . import native
+
+    path = native.concat_order(np.asarray(traj, np.float64),
+                               config["lambda_points"], outdim, RADIUS, k)
+    if path is not None:
+        if verbose and len(path) != n:
+            print(f"stroke concat dropped {n - len(path)}/{n} segments")
+        return traj[path].copy()
+
     starts, ends = _endpoint_features(np.asarray(traj, np.float64), outdim)
     d2 = ((ends[:, None, :] - starts[None, :, :]) ** 2).sum(-1)  # end_i -> start_j
     nn_idx = np.argsort(d2, axis=1)[:, :k]
-
-    # native fast path (C++ Chu-Liu/Edmonds, native/ocmg_native.cpp) —
-    # virtual-root formulation also handles disconnected segment graphs
-    from . import native
 
     if native.available():
         big = RADIUS

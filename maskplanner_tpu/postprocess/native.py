@@ -20,39 +20,74 @@ _lib = None
 _tried = False
 
 
+def _rebuild() -> bool:
+    try:
+        subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.isfile(_LIB_PATH):
+    if not os.path.isfile(_LIB_PATH) and not _rebuild():
+        return None
+    for attempt in range(2):
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+            _lib = _bind(ctypes.CDLL(_LIB_PATH))
+            return _lib
+        except (OSError, AttributeError):
+            # stale .so missing newer symbols -> rebuild once
+            if attempt == 0 and _rebuild():
+                continue
+            _lib = None
             return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.chu_liu_edmonds_path.restype = ctypes.c_int
-        lib.chu_liu_edmonds_path.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
-            ctypes.POINTER(ctypes.c_int)]
-        lib.solve_lap.restype = None
-        lib.solve_lap.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int)]
-        lib.greedy_spaced_select.restype = ctypes.c_int
-        lib.greedy_spaced_select.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.POINTER(ctypes.c_int)]
-        lib.filter_near_duplicates.restype = ctypes.c_int
-        lib.filter_near_duplicates.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
-        _lib = lib
-    except OSError:
-        _lib = None
-    return _lib
+
+
+def _bind(lib):
+    lib.chu_liu_edmonds_path.restype = ctypes.c_int
+    lib.chu_liu_edmonds_path.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.solve_lap.restype = None
+    lib.solve_lap.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.greedy_spaced_select.restype = ctypes.c_int
+    lib.greedy_spaced_select.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_int)]
+    lib.filter_near_duplicates.restype = ctypes.c_int
+    lib.filter_near_duplicates.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    lib.akima_eval.restype = ctypes.c_int
+    lib.akima_eval.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double)]
+    lib.trim_overlap_keep.restype = ctypes.c_int
+    lib.trim_overlap_keep.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int)]
+    lib.resample_upsample_smooth.restype = ctypes.c_int
+    lib.resample_upsample_smooth.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+    lib.concat_order.restype = ctypes.c_int
+    lib.concat_order.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.filter_segments_item.restype = None
+    lib.filter_segments_item.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double]
+    return lib
 
 
 def available() -> bool:
@@ -108,6 +143,100 @@ def filter_near_duplicates(rows: np.ndarray, threshold: float,
         ctypes.c_double(threshold), int(max_removed),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return out[:count].astype(np.int64)
+
+
+def akima_eval(y: np.ndarray, ts: np.ndarray) -> np.ndarray | None:
+    """Akima interpolation of ``y`` (N, D) over uniform x=0..N-1 at query
+    times ``ts``; out-of-range rows are dropped (scipy extrapolate=False
+    semantics). None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    ts = np.ascontiguousarray(ts, dtype=np.float64)
+    n, d = y.shape
+    out = np.empty((ts.shape[0], d), dtype=np.float64)
+    cnt = lib.akima_eval(
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, d,
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), ts.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out[:cnt]
+
+
+def trim_overlap_keep(stroke: np.ndarray, lam: int, outdim: int,
+                      dist: float) -> np.ndarray | None:
+    """Kept flat pose indices after adjacent-segment overlap trimming;
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    stroke = np.ascontiguousarray(stroke, dtype=np.float64)
+    n_seg = stroke.shape[0]
+    out = np.empty(n_seg * lam, dtype=np.int32)
+    cnt = lib.trim_overlap_keep(
+        stroke.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_seg, int(lam), int(outdim), ctypes.c_double(dist),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return out[:cnt].astype(np.int64)
+
+
+def resample_upsample_smooth(points: np.ndarray, resample_dist: float,
+                             do_interp: bool) -> np.ndarray | None:
+    """Fused per-stroke tail (equal-space resample [+ 5x Akima upsample +
+    sigma=2 Gaussian]); None if the native library is unavailable or the
+    pose dimension exceeds the kernel's row buffer."""
+    lib = _load()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, dtype=np.float64)
+    n, d = points.shape
+    if d > 64:  # C kernel's fixed row buffer
+        return None
+    cap = (10 * n + 2) * (5 if do_interp else 1) + 8
+    out = np.empty((cap, d), dtype=np.float64)
+    cnt = lib.resample_upsample_smooth(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, d,
+        ctypes.c_double(resample_dist), int(bool(do_interp)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out[:cnt].copy()
+
+
+def concat_order(traj: np.ndarray, lam: int, outdim: int, radius: float,
+                 k: int) -> list[int] | None:
+    """Whole-stroke concat ordering (endpoint features + kNN digraph +
+    Edmonds + longest path) in one native call. None if unavailable or the
+    native solve failed (caller falls back to the Python graph build)."""
+    lib = _load()
+    if lib is None:
+        return None
+    traj = np.ascontiguousarray(traj, dtype=np.float64)
+    n_seg = traj.shape[0]
+    out = np.empty(max(n_seg, 1), dtype=np.int32)
+    cnt = lib.concat_order(
+        traj.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_seg, int(lam), int(outdim), ctypes.c_double(radius), int(k),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if cnt <= 0:
+        return None
+    return out[:cnt].tolist()
+
+
+def filter_segments_item(traj: np.ndarray, ids: np.ndarray,
+                         percentage: float, threshold: float) -> bool:
+    """In-place per-item near-duplicate segment suppression across all
+    strokes (removed rows -> -100 / id -1). Returns False if the native
+    library is unavailable (caller falls back to the per-stroke path)."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert traj.flags.c_contiguous and traj.dtype == np.float64
+    assert ids.flags.c_contiguous and ids.dtype == np.int64
+    S, D = traj.shape
+    lib.filter_segments_item(
+        traj.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        S, D, ctypes.c_double(percentage), ctypes.c_double(threshold))
+    return True
 
 
 def solve_lap(cost: np.ndarray) -> np.ndarray | None:

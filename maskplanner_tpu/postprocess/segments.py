@@ -30,8 +30,19 @@ def filter_overlapping_segments(traj: np.ndarray, stroke_ids: np.ndarray,
     become −100 / id −1."""
     from . import native
 
-    out_traj = traj.copy()
-    out_ids = stroke_ids.copy()
+    out_traj = np.ascontiguousarray(traj, np.float64)
+    if out_traj is traj:
+        out_traj = traj.copy()
+    out_ids = np.ascontiguousarray(stroke_ids, np.int64)
+    if out_ids is stroke_ids:
+        out_ids = stroke_ids.copy()
+    if native.available():
+        # whole-item native pass (grouping + per-stroke greedy suppression)
+        for b in range(out_traj.shape[0]):
+            native.filter_segments_item(out_traj[b], out_ids[b],
+                                        percentage, threshold)
+        return out_traj, out_ids
+
     for b in range(traj.shape[0]):
         for sid in np.unique(stroke_ids[b]):
             if sid == -1:
@@ -75,9 +86,14 @@ def find_non_overlapping_points_among_adjacent_segments(stroke, distance,
     """Indices of poses to keep after trimming each segment's tail where it
     runs into the next segment's start
     (reference utils/postprocessing.py:350-391)."""
+    from . import native
+
     N, D = stroke.shape
     lam = D // outdim
-    keep: list[int] = []
+    keep = native.trim_overlap_keep(stroke, lam, outdim, distance)
+    if keep is not None:
+        return keep
+    keep = []
     for i in range(N - 1):
         cur = stroke[i].reshape(lam, outdim)
         nxt_start = stroke[i + 1].reshape(lam, outdim)[0]
@@ -171,8 +187,8 @@ def process_stroke_segments(traj, stroke_ids, config,
     esd = config.get("equal_spaced_points_distance") or 0.05
     out_trajs, out_ids = [], []
     for b in range(traj.shape[0]):
-        b_traj = np.empty((0, outdim))
-        b_ids = np.empty((0,))
+        parts: list[np.ndarray] = []
+        part_ids: list[np.ndarray] = []
         for sid in np.unique(stroke_ids[b]):
             if sid == -1:
                 continue
@@ -189,7 +205,18 @@ def process_stroke_segments(traj, stroke_ids, config,
             points = points[keep]
 
             if not fast_concat:
-                if no_interpolation:
+                # fused native tail: Akima resample walk [+ 5x upsample +
+                # Gaussian] in one C++ call per stroke — the scipy
+                # Akima1DInterpolator constructions here were the
+                # postprocess hot spot (~0.6 ms each, 2 per stroke)
+                from . import native
+
+                fused = native.resample_upsample_smooth(
+                    points, esd if no_interpolation else 0.1,
+                    do_interp=not no_interpolation)
+                if fused is not None:
+                    points = fused
+                elif no_interpolation:
                     points = resample_at_equal_spaced_points_except_last(
                         points, distance=esd)
                 else:
@@ -206,8 +233,10 @@ def process_stroke_segments(traj, stroke_ids, config,
                         points = apply_filter_to_each_dim(
                             points, kind="gaussian", sigma=2)
 
-            b_traj = np.append(b_traj, points, axis=0)
-            b_ids = np.append(b_ids, np.repeat(sid, points.shape[0]))
-        out_trajs.append(b_traj)
-        out_ids.append(b_ids)
+            parts.append(points)
+            part_ids.append(np.repeat(sid, points.shape[0]))
+        out_trajs.append(np.concatenate(parts, axis=0) if parts
+                         else np.empty((0, outdim)))
+        out_ids.append(np.concatenate(part_ids).astype(np.float64)
+                       if part_ids else np.empty((0,)))
     return out_trajs, out_ids

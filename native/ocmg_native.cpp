@@ -15,10 +15,12 @@
 //
 // Build: make -C native    (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -156,9 +158,247 @@ bool chu_liu_edmonds(int n, int root, const std::vector<double>& cost,
   return true;
 }
 
+// --- Akima spline (scipy Akima1DInterpolator semantics, uniform x=0..n-1) --
+//
+// Reference postprocess interpolates every stroke twice with scipy's
+// Akima1DInterpolator (utils/postprocessing.py:269-312). scipy's generic
+// PPoly construction dominated the host postprocess profile (~0.6 ms per
+// construction on tiny strokes); Akima is a *local* O(n) method, so it is
+// reimplemented here following scipy's formulas exactly
+// (scipy/interpolate/_cubic.py Akima1DInterpolator.__init__ + PPoly eval):
+// results match scipy to reassociation-level fp error.
+
+struct AkimaSpline {
+  int n = 0, d = 0;
+  // per-interval Hermite coefficients, row-major (n-1, d) each
+  std::vector<double> c0, c1, c2, c3;
+
+  // y: n*d row-major, n >= 2
+  void build(const double* y, int n_, int d_) {
+    n = n_;
+    d = d_;
+    const int ni = n - 1;  // intervals
+    std::vector<double> t(static_cast<size_t>(n) * d);
+    if (n == 2) {
+      for (int k = 0; k < d; ++k) {
+        double mk = y[d + k] - y[k];
+        t[k] = mk;
+        t[d + k] = mk;
+      }
+    } else {
+      // slopes with two extrapolated entries on each side: m has n+3 rows
+      std::vector<double> m(static_cast<size_t>(n + 3) * d);
+      for (int i = 0; i < ni; ++i)
+        for (int k = 0; k < d; ++k)
+          m[(i + 2) * d + k] =
+              y[(i + 1) * d + k] - y[i * d + k];  // dx == 1
+      for (int k = 0; k < d; ++k) {
+        m[1 * d + k] = 2. * m[2 * d + k] - m[3 * d + k];
+        m[0 * d + k] = 2. * m[1 * d + k] - m[2 * d + k];
+        m[(n + 1) * d + k] = 2. * m[n * d + k] - m[(n - 1) * d + k];
+        m[(n + 2) * d + k] = 2. * m[(n + 1) * d + k] - m[n * d + k];
+      }
+      // default slope: mean of the straddling extended slopes
+      for (int i = 0; i < n; ++i)
+        for (int k = 0; k < d; ++k)
+          t[i * d + k] = .5 * (m[(i + 3) * d + k] + m[i * d + k]);
+      // Akima weights; the breakpoint-defined mask uses the GLOBAL max of
+      // f12 across all rows and dims, exactly like scipy's xp.max(f12)
+      std::vector<double> f1(static_cast<size_t>(n) * d),
+          f2(static_cast<size_t>(n) * d);
+      double mmax = -INF;
+      for (int i = 0; i < n; ++i)
+        for (int k = 0; k < d; ++k) {
+          double a = std::fabs(m[(i + 3) * d + k] - m[(i + 2) * d + k]);
+          double b = std::fabs(m[(i + 1) * d + k] - m[i * d + k]);
+          f1[i * d + k] = a;
+          f2[i * d + k] = b;
+          if (a + b > mmax) mmax = a + b;
+        }
+      for (int i = 0; i < n; ++i)
+        for (int k = 0; k < d; ++k) {
+          double s = f1[i * d + k] + f2[i * d + k];
+          if (s > 1.e-9 * mmax)
+            t[i * d + k] =
+                m[(i + 1) * d + k] +
+                (f2[i * d + k] / s) * (m[(i + 2) * d + k] - m[(i + 1) * d + k]);
+        }
+    }
+    // CubicHermiteSpline coefficients (dx == 1)
+    c0.resize(static_cast<size_t>(ni) * d);
+    c1.resize(static_cast<size_t>(ni) * d);
+    c2.resize(static_cast<size_t>(ni) * d);
+    c3.resize(static_cast<size_t>(ni) * d);
+    for (int i = 0; i < ni; ++i)
+      for (int k = 0; k < d; ++k) {
+        double slope = y[(i + 1) * d + k] - y[i * d + k];
+        double tt = t[i * d + k] + t[(i + 1) * d + k] - 2. * slope;
+        c0[i * d + k] = tt;
+        c1[i * d + k] = (slope - t[i * d + k]) - tt;
+        c2[i * d + k] = t[i * d + k];
+        c3[i * d + k] = y[i * d + k];
+      }
+  }
+
+  // Evaluate at tq; returns false if tq is outside [0, n-1]
+  // (scipy extrapolate=False -> NaN -> caller drops the row).
+  bool eval(double tq, double* out) const {
+    if (!(tq >= 0.0) || tq > static_cast<double>(n - 1)) return false;
+    int i = static_cast<int>(tq);
+    if (i > n - 2) i = n - 2;
+    double s = tq - i;
+    for (int k = 0; k < d; ++k) {
+      double v = ((c0[i * d + k] * s + c1[i * d + k]) * s + c2[i * d + k]) * s +
+                 c3[i * d + k];
+      out[k] = v;
+    }
+    return true;
+  }
+};
+
+// scipy.ndimage 'reflect' boundary: (d c b a | a b c d | d c b a)
+inline int reflect_index(int i, int n) {
+  if (n == 1) return 0;
+  while (i < 0 || i >= n) {
+    if (i < 0) i = -i - 1;
+    if (i >= n) i = 2 * n - i - 1;
+  }
+  return i;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Akima interpolation of y (n*d, uniform x=0..n-1) at t_count query times.
+// Rows with out-of-range t are skipped. Returns number of rows written.
+int akima_eval(const double* y, int n, int d, const double* ts, int t_count,
+               double* out) {
+  if (n < 2) return 0;
+  AkimaSpline sp;
+  sp.build(y, n, d);
+  int written = 0;
+  for (int i = 0; i < t_count; ++i)
+    if (sp.eval(ts[i], out + static_cast<size_t>(written) * d)) ++written;
+  return written;
+}
+
+// Overlap trim between adjacent segments of one concatenated stroke
+// (reference utils/postprocessing.py:350-391): for each segment except the
+// last, keep pose j while no pose <= j is within `dist` of the next
+// segment's first pose; the last segment keeps all poses. Writes kept FLAT
+// pose indices (into the (n_seg*lam) pose sequence); returns their count.
+int trim_overlap_keep(const double* stroke, int n_seg, int lam, int outdim,
+                      double dist, int* out_idx) {
+  int count = 0;
+  double dist2 = dist * dist;
+  for (int i = 0; i < n_seg - 1; ++i) {
+    const double* cur = stroke + static_cast<size_t>(i) * lam * outdim;
+    const double* nxt = stroke + static_cast<size_t>(i + 1) * lam * outdim;
+    int cut = lam;
+    for (int j = 0; j < lam; ++j) {
+      double acc = 0.0;
+      for (int k = 0; k < outdim; ++k) {
+        double diff = cur[j * outdim + k] - nxt[k];
+        acc += diff * diff;
+      }
+      if (acc < dist2) {
+        cut = j + 1;
+        break;
+      }
+    }
+    for (int j = 0; j < cut; ++j) out_idx[count++] = i * lam + j;
+  }
+  for (int j = 0; j < lam; ++j) out_idx[count++] = (n_seg - 1) * lam + j;
+  return count;
+}
+
+// Fused per-stroke tail: equal-space resample (Akima walk at 0.1 steps,
+// reference utils/postprocessing.py:396-432) and, when do_interp != 0, the
+// 5x Akima upsample + sigma=2 'reflect' Gaussian smoothing
+// (utils/postprocessing.py:298-312). points: n*d. out must hold
+// (10*n + 2) * 5 * d doubles. Returns output row count.
+int resample_upsample_smooth(const double* points, int n, int d,
+                             double resample_dist, int do_interp,
+                             double* out) {
+  // --- stage 1: resample at equal spaced points except last -------------
+  std::vector<double> res;
+  int rn = 0;
+  if (n < 3) {
+    res.assign(points, points + static_cast<size_t>(n) * d);
+    rn = n;
+  } else {
+    AkimaSpline sp;
+    sp.build(points, n, d);
+    // the reference accumulates t += 0.1 in double and compares against
+    // n-1 + 0.0005 (postprocessing.py:413-429) — replicated bit for bit
+    std::vector<double> pts;
+    pts.insert(pts.end(), points, points + d);  // stroke[0] prepended
+    double t = 0.1;
+    double row[64];
+    const double tmax = static_cast<double>(n - 1) + 0.0005;
+    while (t <= tmax) {
+      if (sp.eval(t, row)) pts.insert(pts.end(), row, row + d);
+      t += 0.1;
+    }
+    int np_ = static_cast<int>(pts.size()) / d;
+    // greedy equal-spacing walk (sqrt compare, matches greedy_spaced_select)
+    res.insert(res.end(), pts.begin(), pts.begin() + d);
+    const double* last = pts.data();
+    for (int i = 1; i < np_; ++i) {
+      const double* p = pts.data() + static_cast<size_t>(i) * d;
+      double acc = 0.0;
+      for (int k = 0; k < d; ++k) {
+        double diff = p[k] - last[k];
+        acc += diff * diff;
+      }
+      if (std::sqrt(acc) > resample_dist) {
+        res.insert(res.end(), p, p + d);
+        last = p;
+      }
+    }
+    // final pose kept unconditionally
+    res.insert(res.end(), points + static_cast<size_t>(n - 1) * d,
+               points + static_cast<size_t>(n) * d);
+    rn = static_cast<int>(res.size()) / d;
+  }
+
+  if (!do_interp || rn < 3) {
+    std::memcpy(out, res.data(), res.size() * sizeof(double));
+    return rn;
+  }
+
+  // --- stage 2: 5x Akima upsample (ts = i * 0.2, NaN rows dropped) ------
+  AkimaSpline sp2;
+  sp2.build(res.data(), rn, d);
+  std::vector<double> up;
+  up.reserve(static_cast<size_t>(rn) * 5 * d);
+  double row[64];
+  for (int i = 0; i < rn * 5; ++i) {
+    double tq = i * 0.2;  // np.arange(0, rn, 1/5): start + i*step
+    if (sp2.eval(tq, row)) up.insert(up.end(), row, row + d);
+  }
+  int un = static_cast<int>(up.size()) / d;
+
+  // --- stage 3: Gaussian sigma=2 (radius 8, 'reflect'), per dim ---------
+  constexpr double sigma = 2.0;
+  constexpr int radius = 8;  // int(truncate*sigma + 0.5), truncate=4
+  double w[2 * radius + 1], wsum = 0.0;
+  for (int x = -radius; x <= radius; ++x) {
+    w[x + radius] = std::exp(-0.5 / (sigma * sigma) * x * x);
+    wsum += w[x + radius];
+  }
+  for (int j = 0; j < 2 * radius + 1; ++j) w[j] /= wsum;
+  for (int i = 0; i < un; ++i)
+    for (int k = 0; k < d; ++k) {
+      double acc = 0.0;
+      for (int j = -radius; j <= radius; ++j)
+        acc += w[j + radius] * up[static_cast<size_t>(
+                   reflect_index(i + j, un)) * d + k];
+      out[static_cast<size_t>(i) * d + k] = acc;
+    }
+  return un;
+}
 
 // Greedy equal-spacing walk over a polyline's sample points
 // (reference utils/postprocessing.py:396-432 inner loop): keep a point iff
@@ -299,6 +539,117 @@ int chu_liu_edmonds_path(const double* d2, int n, double big,
   }
   for (size_t i = 0; i < best_path.size(); ++i) out_path[i] = best_path[i];
   return static_cast<int>(best_path.size());
+}
+
+// Whole-stroke concat ordering (reference utils/cluster.py:12-102 =
+// maskplanner_tpu/postprocess/concat.py): endpoint features with inferred
+// starting velocity (weight 1.5) on both endpoints, kNN(k)/radius-bounded
+// directed end->start squared-distance graph, Chu-Liu/Edmonds minimum
+// spanning arborescence (virtual root) + unweighted longest path.
+// traj: n_seg x (lam*outdim). Returns ordered segment count written to
+// out_path, or 0 on failure (caller falls back to the Python path).
+int concat_order(const double* traj, int n_seg, int lam, int outdim,
+                 double radius, int k, int* out_path) {
+  if (n_seg <= 0) return 0;
+  if (n_seg == 1) {
+    out_path[0] = 0;
+    return 1;
+  }
+  const int row = lam * outdim;
+  const int fdim = outdim + 3;
+  std::vector<double> starts(static_cast<size_t>(n_seg) * fdim),
+      ends(static_cast<size_t>(n_seg) * fdim);
+  constexpr double VEL_WEIGHT = 1.5;
+  for (int i = 0; i < n_seg; ++i) {
+    const double* r = traj + static_cast<size_t>(i) * row;
+    for (int kk = 0; kk < outdim; ++kk) {
+      starts[i * fdim + kk] = r[kk];
+      ends[i * fdim + kk] = r[(lam - 1) * outdim + kk];
+    }
+    for (int kk = 0; kk < 3; ++kk) {
+      // lam=1 rows have no second pose -> zero velocity (concat.py:27-30)
+      double v = (row >= outdim + 3)
+                     ? VEL_WEIGHT * (r[outdim + kk] - r[kk])
+                     : 0.0;
+      starts[i * fdim + outdim + kk] = v;
+      ends[i * fdim + outdim + kk] = v;
+    }
+  }
+  // dense end_i -> start_j squared distances
+  std::vector<double> d2(static_cast<size_t>(n_seg) * n_seg);
+  for (int i = 0; i < n_seg; ++i)
+    for (int j = 0; j < n_seg; ++j) {
+      double acc = 0.0;
+      for (int kk = 0; kk < fdim; ++kk) {
+        double diff = ends[i * fdim + kk] - starts[j * fdim + kk];
+        acc += diff * diff;
+      }
+      d2[i * n_seg + j] = acc;
+    }
+  // keep only each row's k nearest (argsort order), masked by radius
+  const double big = radius;
+  std::vector<double> masked(static_cast<size_t>(n_seg) * n_seg,
+                             big * 10.0);
+  int keff = k < n_seg ? k : n_seg;
+  std::vector<int> idx(n_seg);
+  for (int i = 0; i < n_seg; ++i) {
+    for (int j = 0; j < n_seg; ++j) idx[j] = j;
+    std::partial_sort(idx.begin(), idx.begin() + keff, idx.end(),
+                      [&](int a, int b) {
+                        return d2[i * n_seg + a] < d2[i * n_seg + b];
+                      });
+    for (int t = 0; t < keff; ++t) {
+      int j = idx[t];
+      if (i != j && d2[i * n_seg + j] < radius)
+        masked[i * n_seg + j] = d2[i * n_seg + j];
+    }
+  }
+  return chu_liu_edmonds_path(masked.data(), n_seg, big * 5.0, out_path);
+}
+
+// Per-item near-duplicate segment suppression across all strokes
+// (reference utils/postprocessing.py:189-235; Python driver
+// segments.py:filter_overlapping_segments). traj: S x D (modified in
+// place: removed rows -> -100), ids: S (removed -> -1).
+void filter_segments_item(double* traj, long long* ids, int S, int D,
+                          double percentage, double threshold) {
+  std::vector<int> order(S);
+  // group rows by stroke id (stable)
+  std::vector<std::pair<long long, int>> keyed(S);
+  for (int i = 0; i < S; ++i) keyed[i] = {ids[i], i};
+  std::stable_sort(keyed.begin(), keyed.end());
+  int pos = 0;
+  std::vector<double> rows;
+  std::vector<int> members, removed;
+  while (pos < S) {
+    long long sid = keyed[pos].first;
+    int end = pos;
+    while (end < S && keyed[end].first == sid) ++end;
+    if (sid != -1) {
+      int n = end - pos;
+      if (static_cast<double>(n) > 1.0 / percentage) {
+        members.assign(n, 0);
+        rows.assign(static_cast<size_t>(n) * D, 0.0);
+        for (int t = 0; t < n; ++t) {
+          members[t] = keyed[pos + t].second;
+          std::memcpy(&rows[static_cast<size_t>(t) * D],
+                      traj + static_cast<size_t>(members[t]) * D,
+                      sizeof(double) * D);
+        }
+        int to_filter = static_cast<int>(n * percentage);
+        removed.assign(n, 0);
+        int n_removed = filter_near_duplicates(rows.data(), n, D, threshold,
+                                               to_filter, removed.data());
+        for (int t = 0; t < n_removed; ++t) {
+          int orig = members[removed[t]];
+          for (int kk = 0; kk < D; ++kk)
+            traj[static_cast<size_t>(orig) * D + kk] = -100.0;
+          ids[orig] = -1;
+        }
+      }
+    }
+    pos = end;
+  }
 }
 
 // Jonker-Volgenant shortest augmenting path LAP on a dense row-major cost
