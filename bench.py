@@ -252,6 +252,22 @@ def main():
         lambda a: model.apply(variables, a, train=False).traj,
         pc[:1], iters=20) * 1000
 
+    # ---- serving artifact (AOT StableHLO, serve.Predictor.export_compiled
+    # contract): the independently optimized serialized program, measured
+    # at batch 1 (robot-cell latency) and at batch (throughput) so serving
+    # perf is tracked round-over-round. -------------------------------------
+    from jax import export as jexport
+
+    def export_call(batch_n):
+        fn = jax.jit(lambda p: model.apply(variables, p, train=False).traj)
+        spec = jax.ShapeDtypeStruct((batch_n, pc.shape[1], 3), jnp.float32)
+        exported = jexport.deserialize(jexport.export(fn)(spec).serialize())
+        return exported.call
+
+    serve1_ms = loop_bench(export_call(1), pc[:1], iters=20) * 1000
+    serveN_s = loop_bench(export_call(batch_size), pc, iters=10)
+    serve_pcs_per_sec = batch_size / serveN_s
+
     print(json.dumps({
         "metric": "inference_pointclouds_per_sec_per_chip",
         "value": round(pcs_per_sec, 2),
@@ -264,6 +280,8 @@ def main():
         "train_step_ms_batch64_fused": round(fused_ms, 2),
         "train_step_ms_batch64_fused_bf16": round(fused16_ms, 2),
         "single_sample_device_compute_ms": round(latency_ms, 2),
+        "serve_artifact_batch1_ms": round(serve1_ms, 2),
+        "serve_artifact_pointclouds_per_sec": round(serve_pcs_per_sec, 2),
         "postprocess_ms_per_sample": round(postprocess_ms, 2),
         "mfu": round(mfu, 4) if mfu else None,
         "hbm_bw_util": round(hbm_util, 4) if hbm_util else None,

@@ -131,24 +131,45 @@ class SetAbstraction(nn.Module):
             precision=prec)
         return new_xyz, pooled
 
-    def _fused_inference(self, xyz, features, fps_key):
-        """Whole-level fused Pallas path (eval only): ball query + gather +
-        folded-BN MLP + max-pool in one VMEM-resident kernel. Numerically
-        equivalent to the unfused path up to BN-folding reassociation."""
-        from ..ops.pallas.fused_sa import (fused_set_abstraction,
-                                           fold_pointmlp_params)
+    def _folded_inference(self, xyz, features, fps_key):
+        """Folded-BN eval path: ball query + fused Pallas gather + plain
+        Dense/ReLU chain with the eval-mode BatchNorm (running-stats scale +
+        shift) folded into the Dense weights. Numerically equivalent to the
+        unfused path up to BN-folding reassociation (same class as the
+        retired whole-level fused kernel it replaces — which measured
+        SLOWER than this: 4.85 vs 2.78 ms for sa2 at batch 64 on v5e; the
+        fused kernel's serial per-tile MLP phases don't pipeline as well as
+        XLA's batched matmul over the gathered tensor).
+
+        Under bf16 the entire activation chain stays bf16 — this is what
+        makes bf16 inference beat f32 (the unfused path's f32 BatchNorm
+        layers kept all inter-layer traffic f32, which is why round-2 bf16
+        eval measured slower than f32 on a bandwidth-bound model)."""
+        from ..ops.pallas.group_gather import ball_group_pallas
 
         fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
         new_xyz = index_points(xyz, fps_idx)            # (B, S, 3)
+        grouped, _ = ball_group_pallas(self.radius, self.nsample,
+                                       xyz, new_xyz, features)
+        return new_xyz, self._folded_mlp(grouped, features)
+
+    def _folded_mlp(self, grouped, features):
+        """Eval-only folded Dense/ReLU chain over a grouped tensor."""
+        from ..ops.pallas.fused_sa import fold_pointmlp_params
+
         mlp = PointMLP(self.mlp, dtype=self.dtype)
         cin = 3 + (0 if features is None else features.shape[-1])
         # materialize/bind the submodule params without running the big
         # unfused compute (eval mode: BatchNorm does not mutate stats)
-        mlp(jnp.zeros((1, 1, 1, cin), xyz.dtype), train=False)
+        mlp(jnp.zeros((1, 1, 1, cin), grouped.dtype), train=False)
         folded = fold_pointmlp_params(mlp.variables)
-        new_features = fused_set_abstraction(self.radius, self.nsample,
-                                             xyz, new_xyz, features, folded)
-        return new_xyz, new_features.astype(xyz.dtype)
+        h = grouped.astype(self.dtype)
+        for w, b in folded:  # w: (Cout, Cin) from fold_pointmlp_params
+            h = jnp.maximum(
+                jnp.matmul(h, jnp.swapaxes(w, 0, 1).astype(self.dtype),
+                           preferred_element_type=self.dtype)
+                + b.astype(self.dtype), 0)
+        return jnp.max(h.astype(jnp.float32), axis=-2)
 
     @nn.compact
     def __call__(self, xyz, features, train: bool, fps_key=None,
@@ -159,17 +180,21 @@ class SetAbstraction(nn.Module):
             # stochasticity (models/pointnet2_utils.py:77); supplied by
             # the trainer via rngs={"fps": ...}, eval stays deterministic
             fps_key = self.make_rng("fps")
-        # Whole-level fused kernel pays off when the gathered rows are wide
-        # relative to the source set (sa2: Cin=131, N=512 -> 3.1 vs 4.9 ms).
-        # For the xyz-only first level the unfused path with the blocked
-        # fused gather measures faster (10.8 vs 13.1 ms) — the fused
-        # kernel's serial per-tile MLP phases don't pipeline as well as
-        # XLA's batched MLP over the grouped tensor.
+        # Eval-mode BN folding: always a win for feature-bearing levels
+        # (sa2: 4.85 -> 2.78/2.44 ms f32/bf16 at batch 64). The xyz-only
+        # first level stays on the unfused path IN F32 FOR BOTH MODEL
+        # DTYPES: its cost is FPS (2.2 ms) + the fused gather (5.7 ms),
+        # both dtype-independent, and its MLP is 0.8 ms — bf16 there only
+        # buys cast churn (round-2's bf16 inference regression lived in
+        # exactly these Dense(bf16)+BatchNorm(f32) cast round-trips).
         if (not train and not self.group_all and full_points is None
-                and features is not None and self.norm == "batch"
-                and _use_fused_sa()):
-            # (BN-folding path; layer-norm levels fuse via the train kernel)
-            return self._fused_inference(xyz, features, fps_key)
+                and self.norm == "batch" and _use_fused_sa()
+                and features is not None):
+            return self._folded_inference(xyz, features, fps_key)
+        mlp_dtype = self.dtype
+        if (not train and features is None and not self.group_all
+                and self.dtype == jnp.bfloat16):
+            mlp_dtype = jnp.float32
         if (not self.group_all and full_points is None
                 and self.norm in ("layer", "none") and _use_fused_sa()):
             # trainable whole-level fusion (custom VJP, remat backward)
@@ -182,6 +207,14 @@ class SetAbstraction(nn.Module):
                 grouped = jnp.concatenate(
                     [grouped, features[:, None, :, :]], axis=-1
                 )
+            if (not train and self.norm == "batch" and _use_fused_sa()
+                    and self.dtype == jnp.bfloat16):
+                # bf16 eval: the unfused Dense(bf16)+BN(f32) chain pays a
+                # cast round-trip per layer on the (B, 1, N, 1024) global
+                # level; folding keeps it all bf16 (+0.8 ms saved at the
+                # flagship shape, the residual that kept whole-model bf16
+                # eval behind f32)
+                return new_xyz, self._folded_mlp(grouped, features)
         else:
             fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
             new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
@@ -213,7 +246,7 @@ class SetAbstraction(nn.Module):
                         [grouped, index_points(features, group_idx)], axis=-1
                     )
 
-        feat = PointMLP(self.mlp, dtype=self.dtype,
+        feat = PointMLP(self.mlp, dtype=mlp_dtype,
                         norm=self.norm)(grouped, train=train)
         # max over neighbourhood K, pooled at f32 regardless of norm mode
         # (batch/layer already emit f32 from the norm layer; norm=none

@@ -7,11 +7,25 @@ behind chamfer, kNN, ball query and FPS. Reference semantics:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import Array
 
 _BIG = 1e10
+
+
+def _deterministic_nn() -> bool:
+    """MASKPLANNER_DETERMINISTIC_NN=1 switches the matmul expansion to a
+    fixed-order elementwise form whose results are bitwise identical under
+    any batch sharding/tiling. The ``|x|²−2x·y+|y|²`` expansion suffers
+    catastrophic cancellation at the ulp level and its matmul tiling varies
+    with the per-device batch size, which flips nearest-neighbour argmin
+    ties between a sharded and an unsharded run of the same global batch —
+    the sole source of loss divergence the multi-chip dryrun used to wave
+    through with a loose tolerance. Validation-path flag, not a perf path."""
+    return bool(os.environ.get("MASKPLANNER_DETERMINISTIC_NN"))
 
 
 def square_distance(src: Array, dst: Array) -> Array:
@@ -27,6 +41,18 @@ def square_distance(src: Array, dst: Array) -> Array:
     (..., N, M) squared distances, computed via the matmul expansion so the
     contraction runs on the MXU. Accumulation in float32.
     """
+    if _deterministic_nn():
+        # fixed-order unrolled accumulation: each (n, m) output element is
+        # an independent chain of D fused elementwise ops — bitwise
+        # reproducible across shardings (XLA never reassociates it)
+        src32 = src.astype(jnp.float32)
+        dst32 = dst.astype(jnp.float32)
+        acc = None
+        for d in range(src.shape[-1]):
+            diff = src32[..., :, None, d] - dst32[..., None, :, d]
+            term = diff * diff
+            acc = term if acc is None else acc + term
+        return acc
     # precision=highest: NN argmins feed matching decisions, so the cross
     # term must be exact f32 (the K dimension is tiny — ≤ λ·outdim — so the
     # extra MXU passes are negligible next to the model's conv matmuls).

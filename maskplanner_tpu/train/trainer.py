@@ -89,6 +89,35 @@ def _train_step_impl(model, handler: LossHandler, config,
     return state, loss, terms
 
 
+def make_loss_and_grads(model, handler: LossHandler, config):
+    """Returns jitted ``loss_and_grads(state, batch, weights, rng) ->
+    (loss, grads)`` — the train step's forward+backward WITHOUT the
+    optimizer update. Used by the multi-chip parity dryrun: comparing
+    gradients at identical params is the sharding check that stays
+    well-conditioned (post-Adam params are not — Adam turns ulp-level
+    sign flips of near-zero gradients into full lr-sized parameter
+    differences, so trajectories diverge chaotically regardless of
+    sharding correctness)."""
+
+    def loss_and_grads(state: TrainState, batch, weights, rng):
+        dropout_rng, fps_rng, loss_rng = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, _ = model.apply(
+                variables, batch["point_cloud"], train=True,
+                rngs={"dropout": dropout_rng, "fps": fps_rng},
+                mutable=["batch_stats"])
+            lb = build_loss_batch(out, batch, config)
+            total, _ = handler.compute(weights, rng=loss_rng, **lb)
+            return total
+
+        return jax.value_and_grad(loss_fn)(state.params)
+
+    return jax.jit(loss_and_grads)
+
+
 def make_train_step(model, handler: LossHandler, config):
     """Returns jitted ``train_step(state, batch, weights, rng)``."""
 

@@ -10,11 +10,31 @@ import pytest
 class TestMultichip:
     def test_dryrun_8_devices(self, clean_subprocess):
         # ~440s alone on this 1-core box; leave headroom for a
-        # contended core (the default 560s flaked under parallel jobs)
+        # contended core (the default 560s flaked under parallel jobs).
+        # flagship=False: the full batch-64 flagship-shape parity takes
+        # ~25 min on this CPU — the driver runs it once per round via
+        # dryrun_multichip(8); the suite covers the same code path at
+        # reduced size below.
         out = clean_subprocess(
-            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+            "import __graft_entry__ as g; g.dryrun_multichip(8, "
+            "flagship=False)",
             n_devices=8, timeout=1500)
         assert "OK" in out
+
+    def test_flagship_parity_reduced(self, clean_subprocess):
+        """The flagship-shape per-step DP parity harness (loss rtol 1e-4,
+        grad-norm ratio, NN-match flip fraction) at reduced batch — same
+        windows_v2 tensor shapes (pc=5120, out_vectors=450, masks=22),
+        smaller batch so the suite stays tractable on one core."""
+        code = """
+import os
+os.environ['MASKPLANNER_DETERMINISTIC_NN'] = '1'
+import __graft_entry__ as g
+rep = g._flagship_parity(8, n_steps=1, global_batch=16)
+print('FLAGSHIP-LITE OK', rep)
+"""
+        out = clean_subprocess(code, n_devices=8, timeout=1800)
+        assert "FLAGSHIP-LITE OK" in out
 
     def test_multihost_loader_and_global_batch(self, clean_subprocess):
         """Host-sharded DataLoader slices are disjoint, cover the global

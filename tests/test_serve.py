@@ -122,6 +122,38 @@ class TestPredictor:
                                    np.asarray(live.stroke_masks),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_corrupted_artifact_fails_loudly(self, serve_run, tmp_path):
+        """A truncated/corrupted serialized artifact must raise at load or
+        first call — never return a silently wrong program."""
+        from maskplanner_tpu.serve import Predictor, load_exported
+
+        run_dir, mesh = serve_run
+        pred = Predictor(run_dir, model="last")
+        path = str(tmp_path / "forward.hlo")
+        blob = pred.export_compiled(path)
+
+        truncated = str(tmp_path / "truncated.hlo")
+        with open(truncated, "wb") as fh:
+            fh.write(blob[: len(blob) // 2])
+        flipped = str(tmp_path / "flipped.hlo")
+        bad = bytearray(blob)
+        for i in range(64, min(2048, len(bad)), 97):
+            bad[i] ^= 0xFF
+        with open(flipped, "wb") as fh:
+            fh.write(bytes(bad))
+        empty = str(tmp_path / "empty.hlo")
+        open(empty, "wb").close()
+
+        pc, _ = pred.preprocess(mesh)
+        for broken in (truncated, flipped, empty):
+            with pytest.raises(Exception):
+                fn = load_exported(broken)
+                fn(pc[None])  # some corruptions only surface at call time
+
+        # and the pristine artifact still loads (the fixture isn't flaky)
+        good = load_exported(path)
+        assert np.isfinite(np.asarray(good(pc[None])[0])).all()
+
     def test_cli_end_to_end(self, serve_run, tmp_path, monkeypatch, capsys):
         import predict_maskplanner
 
