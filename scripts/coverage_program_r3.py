@@ -12,6 +12,20 @@ cache across runs) through two stages:
              ">99% coverage on unseen objects" headline
              (reference README.md:10).
 
+Fixture fidelity (both stages):
+  deterministic=True — programs are a deterministic function of the mesh
+      geometry (expert-demonstration structure, like the real PaintNet
+      programs; painted faces, raster pitch and per-face pass count all
+      derive from the face extents). The legacy random fixture injects
+      irreducible label noise (random painted-face subsets / raster
+      densities) — held-out coverage on it measures the noise ceiling,
+      not the model (docs/coverage.md).
+  mesh_edge=0.10 — fixture meshes subdivided to ~1-2k faces. The metric
+      is per-face; the real categories' meshes carry thousands of faces,
+      and the old 12-triangle boxes quantized coverage into 1/12 steps
+      (the finished 600-epoch probe re-scored from 8.3% -> 51% mean on
+      subdivided meshes with identical predictions).
+
 Appends one JSON line per run to --out (default docs/coverage_r3.jsonl).
 
 Usage: python scripts/coverage_program_r3.py [--stage scaling|full|all]
@@ -28,15 +42,25 @@ from types import SimpleNamespace
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
+# persistent XLA compile cache: the scan-epoch train step costs minutes to
+# compile and is shape-identical across runs within a stage
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cc_cache")
 
 from coverage_study import run_category
+
+# deterministic fixture pose counts peak at ~860 (shelves/containers);
+# traj_points must cover them or the loader's subsampling widens the
+# pass spacing past the spray-beam footprint and GT roundtrip degrades
+_SHAPES = dict(traj_points=896, n_pred_traj_points=448)
 
 
 def base_args(**over):
     d = dict(
-        epochs=1200, n_train=48, n_test=8, pc_points=2048, traj_points=512,
-        n_pred_traj_points=256, batch_size=8, percentile=10, split="test",
+        epochs=1200, n_train=48, n_test=8, pc_points=2048,
+        batch_size=8, percentile=10, split="test",
         seed=7, postprocess=True, bf16=False, norm="batch",
+        deterministic=True, mesh_edge=0.10, max_n_strokes=12,
+        eval_divisor=8, **_SHAPES,
     )
     d.update(over)
     return SimpleNamespace(**d)
@@ -60,18 +84,21 @@ def main():
               f"gt_cov={summary['gt_coverage']:.4f} "
               f"({summary['wall_sec']}s)", flush=True)
 
+    if args.stage in ("full", "all"):
+        # 16 eval points over 2400 epochs -> usable convergence curves
+        # for the stroke-count (mask head) metrics per category
+        for cat in ("cuboids-v2", "windows-v2", "shelves-v2",
+                    "containers-v2"):
+            t0 = time.time()
+            s = run_category(cat, base_args(epochs=2400, n_train=48,
+                                            eval_divisor=16))
+            record(f"full_{cat}", s, t0)
+
     if args.stage in ("scaling", "all"):
         for n_train in (8, 16, 32, 48, 96):
             t0 = time.time()
             s = run_category("cuboids-v2", base_args(n_train=n_train))
             record(f"scaling_n{n_train}", s, t0)
-
-    if args.stage in ("full", "all"):
-        for cat in ("cuboids-v2", "windows-v2", "shelves-v2",
-                    "containers-v2"):
-            t0 = time.time()
-            s = run_category(cat, base_args(epochs=2400, n_train=48))
-            record(f"full_{cat}", s, t0)
 
 
 if __name__ == "__main__":

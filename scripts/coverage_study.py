@@ -50,7 +50,11 @@ def run_category(category: str, args) -> dict:
     tmp = tempfile.mkdtemp(prefix=f"coverage_{category}_")
     root = os.path.join(tmp, "paintnet")
     cat_dir = write_category(root, category, n_train=args.n_train,
-                             n_test=args.n_test, seed=args.seed)
+                             n_test=args.n_test, seed=args.seed,
+                             deterministic=getattr(args, "deterministic",
+                                                   False),
+                             mesh_max_edge=getattr(args, "mesh_edge",
+                                                   None))
     os.environ["PAINTNET_ROOT"] = root
     ep = args.epochs
     try:
@@ -60,11 +64,12 @@ def run_category(category: str, args) -> dict:
             f"pc_points={args.pc_points}",
             f"traj_points={args.traj_points}",
             f"n_pred_traj_points={args.n_pred_traj_points}",
-            "max_n_strokes=8",
+            f"max_n_strokes={getattr(args, 'max_n_strokes', 8)}",
             "traj_with_equally_spaced_points=false",
             "data_scale_factor=800.0",
             f"batch_size={args.batch_size}",
-            f"epochs={ep}", f"eval_freq={max(ep // 4, 1)}",
+            f"epochs={ep}",
+            f"eval_freq={max(ep // getattr(args, 'eval_divisor', 4), 1)}",
             # compress the 4800-epoch curriculum proportionally
             f"lr_sched.step_sizes=[{ep//5},{ep//3},{ep//2},"
             f"{2*ep//3},{5*ep//6}]",
@@ -127,6 +132,20 @@ def run_category(category: str, args) -> dict:
             per_item=per_item, run_dir=run_dir,
             postprocess=bool(args.postprocess),
         )
+        try:
+            with open(os.path.join(run_dir, "summary.json")) as fh:
+                run_sum = json.load(fh)
+            summary["test_pcd"] = run_sum.get(
+                "final_test_point-wise chamfer distance")
+            summary["test_mae_nop"] = run_sum.get(
+                "final_test_mean_absolute_error_NoP")
+            summary["test_avg_pred_strokes"] = run_sum.get(
+                "final_test_avg_num_of_pred_strokes")
+            summary["test_avg_gt_strokes"] = run_sum.get(
+                "final_test_avg_num_of_gt_strokes")
+            summary["tot_train_seconds"] = run_sum.get("tot_train_seconds")
+        except (OSError, ValueError):
+            pass
         print(json.dumps(summary), flush=True)
         return summary
     finally:
@@ -152,6 +171,18 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--postprocess", action="store_true",
                     help="export through the full postprocess pipeline")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="deterministic fixture programs (expert-"
+                         "demonstration structure: painted faces and "
+                         "raster density derive from the geometry)")
+    ap.add_argument("--max_n_strokes", type=int, default=8)
+    ap.add_argument("--eval_divisor", type=int, default=4,
+                    help="eval every epochs//eval_divisor epochs")
+    ap.add_argument("--mesh_edge", type=float, default=None,
+                    help="subdivide fixture meshes to this max edge "
+                         "length (unit-dims scale, e.g. 0.12) — the real "
+                         "categories' meshes have thousands of faces; "
+                         "the 12-triangle default quantizes coverage")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--norm", default="batch")
     args = ap.parse_args()

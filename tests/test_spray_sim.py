@@ -306,3 +306,59 @@ def test_write_thickness_csv_format(tmp_path):
     write_thickness_csv(str(path), np.array([0.5, 1.5, 2.5]))
     rows = [line.strip().split(";") for line in open(path)]
     assert rows == [["0", "0.5"], ["1", "1.5"], ["2", "2.5"]]
+
+
+class TestSubdividedFixtureMesh:
+    """box_mesh(max_edge=...) — the metric-resolution upgrade.
+
+    The coverage metric is per mesh face (reference
+    compute_paint_coverage_per_face.py:62-114); real category meshes have
+    thousands of faces, so the fixture must too or coverage quantizes.
+    """
+
+    def test_subdivision_outward_normals_and_area(self):
+        import numpy as np
+        from maskplanner_tpu.data.fixture_category import box_mesh
+
+        dims = np.array([1.0, 0.8, 1.3])
+        verts, tris = box_mesh(dims, max_edge=0.15)
+        assert len(tris) > 400
+        tri = verts[tris]
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        areas = 0.5 * np.linalg.norm(n, axis=-1)
+        n = n / np.maximum(areas[:, None] * 2, 1e-12)
+        centers = tri.mean(1)
+        # every triangle's normal points away from the box center
+        assert ((n * centers).sum(-1) > 0).all()
+        expected = 2 * (dims[0] * dims[1] + dims[0] * dims[2]
+                        + dims[1] * dims[2])
+        assert abs(areas.sum() - expected) < 1e-9
+
+    def test_deterministic_fixture_gt_roundtrip_on_fine_mesh(self, tmp_path):
+        import numpy as np
+        from maskplanner_tpu.data.fixture_category import (
+            generate_item, write_obj)
+        from maskplanner_tpu.sim import simulate_program
+
+        verts, tris, traj, ids = generate_item(
+            "cuboids-v2", 3, seed=7, deterministic=True, mesh_max_edge=0.12)
+        # deterministic programs: strokes vary with geometry (multi-pass
+        # on large faces) and regenerating gives identical output
+        v2, t2, traj2, ids2 = generate_item(
+            "cuboids-v2", 3, seed=7, deterministic=True, mesh_max_edge=0.12)
+        np.testing.assert_array_equal(traj, traj2)
+        assert ids.max() + 1 >= 5
+
+        mesh = tmp_path / "m.obj"
+        write_obj(str(mesh), verts, tris)
+        prog = tmp_path / "p.txt"
+        from maskplanner_tpu.data.io import orientnorm_to_euler, \
+            save_traj_file
+        rows = np.concatenate(
+            [traj[:, :3], orientnorm_to_euler(traj[:, 3:6]),
+             ids[:, None].astype(np.float64)], axis=1)
+        save_traj_file(rows, str(prog), kind="euler")
+        th = simulate_program(str(mesh), str(prog)).reshape(-1, 3).mean(1)
+        nz = th[~np.isclose(th, 0.0)]
+        # all 5 painted faces' triangles receive well-above-threshold paint
+        assert len(nz) > 0.6 * len(th)
