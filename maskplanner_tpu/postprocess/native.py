@@ -87,6 +87,13 @@ def _bind(lib):
     lib.filter_segments_item.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_longlong),
         ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double]
+    lib.process_strokes_item.restype = ctypes.c_longlong
+    lib.process_strokes_item.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_longlong]
     return lib
 
 
@@ -237,6 +244,41 @@ def filter_segments_item(traj: np.ndarray, ids: np.ndarray,
         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         S, D, ctypes.c_double(percentage), ctypes.c_double(threshold))
     return True
+
+
+def process_strokes_item(traj: np.ndarray, ids: np.ndarray, lam: int,
+                         outdim: int, knn: int, radius: float,
+                         trim_dist: float, resample_dist: float,
+                         do_interp: bool):
+    """Whole-item per-stroke postprocess tail in ONE native call: group by
+    stroke id, Edmonds concat ordering, adjacent-segment overlap trim,
+    equal-space resample [+ 5x Akima upsample + Gaussian smoothing].
+    Returns (points (N, outdim), pose stroke ids (N,)) or None if the
+    native library is unavailable / the solve bailed (caller falls back
+    to the per-stroke Python loop)."""
+    lib = _load()
+    if lib is None or outdim > 64:
+        return None
+    traj = np.ascontiguousarray(traj, dtype=np.float64)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    S = traj.shape[0]
+    n_strokes = max(int((np.unique(ids) >= 0).sum()), 1)
+    cap = ((10 * S * lam + 2 * n_strokes) * 5 + 64) * outdim
+    out = np.empty(cap, dtype=np.float64)
+    out_ids = np.empty(cap // outdim, dtype=np.float64)
+    total = lib.process_strokes_item(
+        traj.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        S, int(lam), int(outdim), int(knn), ctypes.c_double(radius),
+        ctypes.c_double(trim_dist), ctypes.c_double(resample_dist),
+        int(bool(do_interp)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_longlong(cap))
+    if total < 0:
+        return None
+    n = int(total)
+    return out[: n * outdim].reshape(n, outdim).copy(), out_ids[:n].copy()
 
 
 def solve_lap(cost: np.ndarray) -> np.ndarray | None:

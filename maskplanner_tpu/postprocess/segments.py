@@ -186,6 +186,33 @@ def process_stroke_segments(traj, stroke_ids, config,
 
     esd = config.get("equal_spaced_points_distance") or 0.05
     out_trajs, out_ids = [], []
+
+    # whole-item fused native path: one C++ call per batch element runs
+    # the entire per-stroke tail (concat order + overlap trim + resample/
+    # upsample/smooth) — eliminates ~20 Python/ctypes round-trips per
+    # stroke, the residual cost after the kernels themselves went native
+    if not fast_concat and not verbose:
+        from . import native
+        from .concat import KNN, RADIUS
+
+        fused_ok = True
+        for b in range(traj.shape[0]):
+            res = native.process_strokes_item(
+                np.asarray(traj[b], np.float64),
+                np.asarray(stroke_ids[b], np.int64),
+                lam=int(config["lambda_points"]), outdim=outdim,
+                knn=KNN, radius=RADIUS, trim_dist=0.05,
+                resample_dist=esd if no_interpolation else 0.1,
+                do_interp=not no_interpolation)
+            if res is None:
+                fused_ok = False
+                out_trajs, out_ids = [], []
+                break
+            out_trajs.append(res[0])
+            out_ids.append(res[1])
+        if fused_ok:
+            return out_trajs, out_ids
+
     for b in range(traj.shape[0]):
         parts: list[np.ndarray] = []
         part_ids: list[np.ndarray] = []

@@ -710,3 +710,89 @@ void solve_lap(const double* cost, int n_rows, int n_cols, int* row4col) {
 }
 
 }  // extern "C"
+
+// Whole-item stroke postprocess (the per-stroke tail of reference
+// utils/postprocessing.py:155-324 fused into one call): for each stroke id
+// (ascending, -1 skipped) gather its segments, order them via the Edmonds
+// concat (utils/cluster.py:12-102), trim overlapping poses between
+// adjacent segments (:350-391), then equal-space resample [+ 5x Akima
+// upsample + Gaussian smoothing] (:269-312). Outputs the concatenated
+// per-pose trajectory and per-pose stroke ids.
+//
+// traj: S x (lam*outdim) row-major (post segment-filtering; -100 rows ok);
+// ids:  S (int64, -1 = dropped). out must hold out_cap doubles; out_ids
+// must hold out_cap/outdim doubles. Returns total pose count, or -1 when
+// out_cap is insufficient.
+extern "C" long long process_strokes_item(
+    const double* traj, const long long* ids, int S, int lam, int outdim,
+    int knn, double radius, double trim_dist, double resample_dist,
+    int do_interp, double* out, double* out_ids, long long out_cap) {
+  const int row = lam * outdim;
+  // ascending unique stroke ids (np.unique order of the Python loop)
+  std::vector<long long> uniq(ids, ids + S);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+
+  std::vector<double> stroke, ordered, poses;
+  std::vector<int> path, keep;
+  long long total = 0;
+  for (long long sid : uniq) {
+    if (sid == -1) continue;
+    // gather segments of this stroke, dropping all-(-100) rows
+    stroke.clear();
+    for (int s = 0; s < S; ++s) {
+      if (ids[s] != sid) continue;
+      const double* r = traj + static_cast<size_t>(s) * row;
+      bool pad = true;
+      for (int kk = 0; kk < row && pad; ++kk) pad = (r[kk] == -100.0);
+      if (!pad) stroke.insert(stroke.end(), r, r + row);
+    }
+    int n_seg = static_cast<int>(stroke.size()) / row;
+    if (n_seg == 0) continue;
+
+    path.assign(n_seg, 0);
+    int plen = concat_order(stroke.data(), n_seg, lam, outdim, radius, knn,
+                            path.data());
+    if (plen <= 0) return -2;  // caller falls back to the Python loop
+    ordered.assign(static_cast<size_t>(plen) * row, 0.0);
+    for (int t = 0; t < plen; ++t)
+      std::memcpy(&ordered[static_cast<size_t>(t) * row],
+                  &stroke[static_cast<size_t>(path[t]) * row],
+                  sizeof(double) * row);
+
+    keep.assign(static_cast<size_t>(plen) * lam, 0);
+    int n_keep = trim_overlap_keep(ordered.data(), plen, lam, outdim,
+                                   trim_dist, keep.data());
+
+    // reshape to poses with suffix -100-padding dropped (from_seq_to_pc
+    // semantics, data/pointcloud.py:120-154), then apply the keep walk
+    int n_poses = plen * lam;
+    for (int p = 0; p < n_poses; ++p) {
+      const double* q = &ordered[static_cast<size_t>(p) * outdim];
+      if (q[0] == -100.0 && q[1] == -100.0 && q[2] == -100.0) {
+        n_poses = p;
+        break;
+      }
+    }
+    poses.clear();
+    for (int t = 0; t < n_keep; ++t) {
+      int p = keep[t];
+      if (p >= n_poses) continue;
+      const double* q = &ordered[static_cast<size_t>(p) * outdim];
+      poses.insert(poses.end(), q, q + outdim);
+    }
+    int np_ = static_cast<int>(poses.size()) / outdim;
+    if (np_ == 0) continue;
+
+    // capacity for the fused tail: (10*np + 2) * 5 * outdim worst case
+    long long need = (static_cast<long long>(np_) * 10 + 2) * 5 * outdim;
+    if (total * outdim + need > out_cap) return -1;
+    int wrote = resample_upsample_smooth(
+        poses.data(), np_, outdim, resample_dist, do_interp,
+        out + total * outdim);
+    for (int t = 0; t < wrote; ++t)
+      out_ids[total + t] = static_cast<double>(sid);
+    total += wrote;
+  }
+  return total;
+}

@@ -333,3 +333,66 @@ class TestVizHelpers:
             pc, traj, ids, save_path=str(tmp_path / "multi.png"),
             title="multi")
         assert (tmp_path / "multi.png").stat().st_size > 0
+
+
+class TestFusedWholeItemPostprocess:
+    """native.process_strokes_item — the single-call whole-item tail must
+    be bit-identical to the per-stroke loop (which is itself parity-tested
+    against the reference in test_reference_parity_postprocess)."""
+
+    def _synthetic(self, seed=0, B=2, n_seg=60, masks=7, lam=4):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(0, 0.5, (masks, 3))
+        traj = np.zeros((B, n_seg, lam * 6))
+        ids = np.zeros((B, n_seg), np.int64)
+        for b in range(B):
+            for s in range(n_seg):
+                m = s % masks
+                base = centers[m] + rng.normal(0, 0.05, 3)
+                seg = (base[None, :]
+                       + np.linspace(0, 0.03, lam)[:, None]
+                       * rng.normal(0, 1, 3))
+                o = rng.normal(0, 1, (lam, 3))
+                o /= np.linalg.norm(o, axis=-1, keepdims=True)
+                traj[b, s] = np.concatenate([seg, o], axis=1).reshape(-1)
+                ids[b, s] = m if rng.random() > 0.1 else -1
+        return traj, ids
+
+    @pytest.mark.parametrize("no_interp", [False, True])
+    def test_fused_matches_loop(self, no_interp):
+        from maskplanner_tpu.postprocess import native
+        from maskplanner_tpu.postprocess import segments as S
+        from maskplanner_tpu.utils.args import load_args
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        config = load_args(argv=["config=[maskplanner,cuboids_v2,longx_v2]"])
+        traj, ids = self._synthetic()
+        t1, i1 = S.process_stroke_segments(
+            traj.copy(), ids.copy(), config, skip_segments_filtering=True,
+            no_interpolation=no_interp)
+        orig = native.process_strokes_item
+        native.process_strokes_item = lambda *a, **k: None
+        try:
+            t2, i2 = S.process_stroke_segments(
+                traj.copy(), ids.copy(), config,
+                skip_segments_filtering=True, no_interpolation=no_interp)
+        finally:
+            native.process_strokes_item = orig
+        for b in range(len(t1)):
+            np.testing.assert_array_equal(t1[b], t2[b])
+            np.testing.assert_array_equal(i1[b], i2[b])
+
+    def test_fused_empty_item(self):
+        from maskplanner_tpu.postprocess import native
+        from maskplanner_tpu.postprocess import segments as S
+        from maskplanner_tpu.utils.args import load_args
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        config = load_args(argv=["config=[maskplanner,cuboids_v2,longx_v2]"])
+        traj = np.full((1, 8, 24), -100.0)
+        ids = np.full((1, 8), -1, np.int64)
+        t, i = S.process_stroke_segments(traj, ids, config,
+                                         skip_segments_filtering=True)
+        assert t[0].shape == (0, 6) and i[0].shape == (0,)
