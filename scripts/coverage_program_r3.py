@@ -69,7 +69,8 @@ def base_args(**over):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
-                    choices=["scaling", "full", "all"])
+                    choices=["scaling", "full", "all", "normlayer", "bf16",
+                             "hero"])
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "coverage_r3.jsonl"))
     args = ap.parse_args()
@@ -99,6 +100,31 @@ def main():
             t0 = time.time()
             s = run_category("cuboids-v2", base_args(n_train=n_train))
             record(f"scaling_n{n_train}", s, t0)
+
+    if args.stage == "normlayer":
+        # model.norm=layer flagship-recipe evidence (VERDICT #3b): full
+        # budget, two categories, compared head-to-head against the
+        # batch-norm rows on coverage + PCD + stroke-count MAE
+        for cat in ("cuboids-v2", "shelves-v2"):
+            t0 = time.time()
+            s = run_category(cat, base_args(epochs=2400, n_train=48,
+                                            eval_divisor=16, norm="layer"))
+            record(f"normlayer_{cat}", s, t0)
+
+    if args.stage == "bf16":
+        # bf16 end-to-end convergence through the coverage chain
+        t0 = time.time()
+        s = run_category("cuboids-v2", base_args(epochs=2400, n_train=48,
+                                                 eval_divisor=16, bf16=True))
+        record("bf16_cuboids-v2", s, t0)
+
+    if args.stage == "hero":
+        # reference operating point: ~2x the data, official 4800 epochs
+        for cat in ("cuboids-v2", "windows-v2"):
+            t0 = time.time()
+            s = run_category(cat, base_args(epochs=4800, n_train=96,
+                                            eval_divisor=16))
+            record(f"hero_{cat}", s, t0)
 
 
 if __name__ == "__main__":
