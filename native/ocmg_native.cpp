@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -723,76 +724,130 @@ void solve_lap(const double* cost, int n_rows, int n_cols, int* row4col) {
 // ids:  S (int64, -1 = dropped). out must hold out_cap doubles; out_ids
 // must hold out_cap/outdim doubles. Returns total pose count, or -1 when
 // out_cap is insufficient.
+namespace {
+
+// One stroke's full tail: gather -> concat order -> overlap trim ->
+// resample/upsample/smooth. Returns pose count written to `result`
+// (outdim columns per pose), or -2 when the concat solve bailed.
+int process_one_stroke(const double* traj, const long long* ids, int S,
+                       long long sid, int lam, int outdim, int knn,
+                       double radius, double trim_dist,
+                       double resample_dist, int do_interp,
+                       double* result) {
+  const int row = lam * outdim;
+  std::vector<double> stroke;
+  for (int s = 0; s < S; ++s) {
+    if (ids[s] != sid) continue;
+    const double* r = traj + static_cast<size_t>(s) * row;
+    bool pad = true;
+    for (int kk = 0; kk < row && pad; ++kk) pad = (r[kk] == -100.0);
+    if (!pad) stroke.insert(stroke.end(), r, r + row);
+  }
+  int n_seg = static_cast<int>(stroke.size()) / row;
+  if (n_seg == 0) return 0;
+
+  std::vector<int> path(n_seg);
+  int plen = concat_order(stroke.data(), n_seg, lam, outdim, radius, knn,
+                          path.data());
+  if (plen <= 0) return -2;
+  std::vector<double> ordered(static_cast<size_t>(plen) * row);
+  for (int t = 0; t < plen; ++t)
+    std::memcpy(&ordered[static_cast<size_t>(t) * row],
+                &stroke[static_cast<size_t>(path[t]) * row],
+                sizeof(double) * row);
+
+  std::vector<int> keep(static_cast<size_t>(plen) * lam);
+  int n_keep = trim_overlap_keep(ordered.data(), plen, lam, outdim,
+                                 trim_dist, keep.data());
+
+  // reshape to poses with suffix -100-padding dropped (from_seq_to_pc
+  // semantics, data/pointcloud.py:120-154), then apply the keep walk
+  int n_poses = plen * lam;
+  for (int p = 0; p < n_poses; ++p) {
+    const double* q = &ordered[static_cast<size_t>(p) * outdim];
+    if (q[0] == -100.0 && q[1] == -100.0 && q[2] == -100.0) {
+      n_poses = p;
+      break;
+    }
+  }
+  std::vector<double> poses;
+  for (int t = 0; t < n_keep; ++t) {
+    int p = keep[t];
+    if (p >= n_poses) continue;
+    const double* q = &ordered[static_cast<size_t>(p) * outdim];
+    poses.insert(poses.end(), q, q + outdim);
+  }
+  int np_ = static_cast<int>(poses.size()) / outdim;
+  if (np_ == 0) return 0;
+
+  return resample_upsample_smooth(poses.data(), np_, outdim, resample_dist,
+                                  do_interp, result);
+}
+
+// worst-case output poses for one stroke of n_seg segments
+inline long long stroke_out_cap(long long n_seg, int lam) {
+  return (n_seg * lam * 10 + 2) * 5;
+}
+
+}  // namespace
+
 extern "C" long long process_strokes_item(
     const double* traj, const long long* ids, int S, int lam, int outdim,
     int knn, double radius, double trim_dist, double resample_dist,
     int do_interp, double* out, double* out_ids, long long out_cap) {
-  const int row = lam * outdim;
   // ascending unique stroke ids (np.unique order of the Python loop)
   std::vector<long long> uniq(ids, ids + S);
   std::sort(uniq.begin(), uniq.end());
   uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  std::vector<long long> sids;
+  for (long long sid : uniq)
+    if (sid != -1) sids.push_back(sid);
+  const int n_strokes = static_cast<int>(sids.size());
 
-  std::vector<double> stroke, ordered, poses;
-  std::vector<int> path, keep;
+  // per-stroke segment counts -> disjoint worst-case output slices, so
+  // strokes can run concurrently writing straight into `out`
+  std::vector<long long> seg_count(n_strokes, 0), offset(n_strokes + 1, 0);
+  for (int i = 0; i < n_strokes; ++i) {
+    for (int s = 0; s < S; ++s)
+      if (ids[s] == sids[i]) ++seg_count[i];
+    offset[i + 1] = offset[i] + stroke_out_cap(seg_count[i], lam);
+  }
+  if (offset[n_strokes] * outdim > out_cap) return -1;
+
+  // strokes are independent: a small pool (reference caps its postprocess
+  // pool at 8 threads, utils/postprocessing.py:155) fills the disjoint
+  // slices; single-core machines take the no-thread path
+  std::vector<int> counts(n_strokes, 0);
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = static_cast<int>(
+      std::min<unsigned>(std::min(hw ? hw : 1u, 8u),
+                         static_cast<unsigned>(n_strokes ? n_strokes : 1)));
+  auto work = [&](int t0) {
+    for (int i = t0; i < n_strokes; i += n_threads)
+      counts[i] = process_one_stroke(traj, ids, S, sids[i], lam, outdim,
+                                     knn, radius, trim_dist, resample_dist,
+                                     do_interp, out + offset[i] * outdim);
+  };
+  if (n_threads <= 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n_threads; ++t) pool.emplace_back(work, t);
+    work(0);
+    for (auto& th : pool) th.join();
+  }
+
+  // compact the slices left-to-right (already in ascending-id order)
   long long total = 0;
-  for (long long sid : uniq) {
-    if (sid == -1) continue;
-    // gather segments of this stroke, dropping all-(-100) rows
-    stroke.clear();
-    for (int s = 0; s < S; ++s) {
-      if (ids[s] != sid) continue;
-      const double* r = traj + static_cast<size_t>(s) * row;
-      bool pad = true;
-      for (int kk = 0; kk < row && pad; ++kk) pad = (r[kk] == -100.0);
-      if (!pad) stroke.insert(stroke.end(), r, r + row);
-    }
-    int n_seg = static_cast<int>(stroke.size()) / row;
-    if (n_seg == 0) continue;
-
-    path.assign(n_seg, 0);
-    int plen = concat_order(stroke.data(), n_seg, lam, outdim, radius, knn,
-                            path.data());
-    if (plen <= 0) return -2;  // caller falls back to the Python loop
-    ordered.assign(static_cast<size_t>(plen) * row, 0.0);
-    for (int t = 0; t < plen; ++t)
-      std::memcpy(&ordered[static_cast<size_t>(t) * row],
-                  &stroke[static_cast<size_t>(path[t]) * row],
-                  sizeof(double) * row);
-
-    keep.assign(static_cast<size_t>(plen) * lam, 0);
-    int n_keep = trim_overlap_keep(ordered.data(), plen, lam, outdim,
-                                   trim_dist, keep.data());
-
-    // reshape to poses with suffix -100-padding dropped (from_seq_to_pc
-    // semantics, data/pointcloud.py:120-154), then apply the keep walk
-    int n_poses = plen * lam;
-    for (int p = 0; p < n_poses; ++p) {
-      const double* q = &ordered[static_cast<size_t>(p) * outdim];
-      if (q[0] == -100.0 && q[1] == -100.0 && q[2] == -100.0) {
-        n_poses = p;
-        break;
-      }
-    }
-    poses.clear();
-    for (int t = 0; t < n_keep; ++t) {
-      int p = keep[t];
-      if (p >= n_poses) continue;
-      const double* q = &ordered[static_cast<size_t>(p) * outdim];
-      poses.insert(poses.end(), q, q + outdim);
-    }
-    int np_ = static_cast<int>(poses.size()) / outdim;
-    if (np_ == 0) continue;
-
-    // capacity for the fused tail: (10*np + 2) * 5 * outdim worst case
-    long long need = (static_cast<long long>(np_) * 10 + 2) * 5 * outdim;
-    if (total * outdim + need > out_cap) return -1;
-    int wrote = resample_upsample_smooth(
-        poses.data(), np_, outdim, resample_dist, do_interp,
-        out + total * outdim);
-    for (int t = 0; t < wrote; ++t)
-      out_ids[total + t] = static_cast<double>(sid);
-    total += wrote;
+  for (int i = 0; i < n_strokes; ++i) {
+    if (counts[i] == -2) return -2;  // caller falls back to the Python loop
+    if (counts[i] <= 0) continue;
+    if (total != offset[i])
+      std::memmove(out + total * outdim, out + offset[i] * outdim,
+                   static_cast<size_t>(counts[i]) * outdim * sizeof(double));
+    for (int t = 0; t < counts[i]; ++t)
+      out_ids[total + t] = static_cast<double>(sids[i]);
+    total += counts[i];
   }
   return total;
 }
