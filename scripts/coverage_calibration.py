@@ -1,0 +1,151 @@
+"""Coverage-vs-trajectory-error calibration for the paint-coverage metric.
+
+The round-3 studies put held-out prediction coverage at ~93-95% across
+categories while the GT roundtrip stays at ~100% — so the remaining gap
+is model geometric error, not pipeline loss. This script quantifies what
+the >99% north star (reference ``README.md:10``) *requires* in trajectory
+space, by sweeping controlled perturbations of the exported GT programs
+through the same simulate->threshold->coverage chain used by the studies
+(``standalone/compute_paint_coverage_per_face.py:40-55``):
+
+  pointwise  — i.i.d. Gaussian noise on every pose position (mm)
+  stroke     — one constant random offset per stroke (the realistic
+               failure mode: a whole pass laid down slightly off-line)
+
+and, alongside, measures each run's actual prediction residual (symmetric
+nearest-neighbour position error between the exported pred and GT
+programs) so the model can be placed on the measured curve.
+
+Usage:
+  python scripts/coverage_calibration.py --programs <run_tmp>/programs \
+      --category cuboids-v2 --data <run_tmp>/paintnet \
+      [--amplitudes 1 2 4 8 16 32] [--out docs/calibration_r3.jsonl]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "standalone"))
+
+from compute_paint_coverage_per_face import coverage_for_pair
+from maskplanner_tpu.sim import simulate_program
+
+HEADER = "X;Y;Z;A;B;C;strokeId"
+
+
+def read_program(path):
+    rows = np.genfromtxt(path, delimiter=";", skip_header=1,
+                         dtype=np.float64)
+    assert rows.ndim == 2 and rows.shape[1] == 7, (path, rows.shape)
+    return rows
+
+
+def write_program(path, rows):
+    with open(path, "w", encoding="utf-8") as fh:
+        print(HEADER, file=fh)
+        for r in rows:
+            print(";".join(f"{v:.10g}" for v in r[:6]) + f";{r[6]:g}",
+                  file=fh)
+
+
+def perturb(rows, amplitude_mm, mode, rng):
+    out = rows.copy()
+    if mode == "pointwise":
+        out[:, :3] += rng.normal(0.0, amplitude_mm, size=(len(rows), 3))
+    elif mode == "stroke":
+        for sid in np.unique(rows[:, 6]):
+            sel = rows[:, 6] == sid
+            out[sel, :3] += rng.normal(0.0, amplitude_mm, size=3)
+    else:
+        raise ValueError(mode)
+    return out
+
+
+def nn_residual_mm(pred_rows, gt_rows):
+    """Symmetric nearest-neighbour position error (mm) pred<->GT."""
+    p, g = pred_rows[:, :3], gt_rows[:, :3]
+    d2 = ((p[:, None, :] - g[None, :, :]) ** 2).sum(-1)
+    fwd = np.sqrt(d2.min(axis=1))
+    bwd = np.sqrt(d2.min(axis=0))
+    return dict(
+        mean=float((fwd.mean() + bwd.mean()) / 2),
+        p90=float(np.percentile(np.concatenate([fwd, bwd]), 90)),
+        rms=float(np.sqrt(((fwd ** 2).mean() + (bwd ** 2).mean()) / 2)),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--programs", required=True,
+                    help="<run_tmp>/programs (holds gt_<cat>/ pred_<cat>/)")
+    ap.add_argument("--category", required=True)
+    ap.add_argument("--data", required=True,
+                    help="<run_tmp>/paintnet (fixture category root)")
+    ap.add_argument("--amplitudes", type=float, nargs="+",
+                    default=[1, 2, 4, 8, 16, 32])
+    ap.add_argument("--percentile", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=os.path.join(REPO, "docs",
+                                                  "calibration_r3.jsonl"))
+    args = ap.parse_args()
+
+    cat_dir = os.path.join(args.data, args.category)
+    gt_dir = os.path.join(args.programs, f"gt_{args.category}")
+    pred_dir = os.path.join(args.programs, f"pred_{args.category}")
+    names = sorted(os.path.splitext(n)[0] for n in os.listdir(gt_dir))
+    rng = np.random.default_rng(args.seed)
+    tmp = tempfile.mkdtemp(prefix="covcal_")
+
+    # measured model residual, per item
+    residuals = {}
+    for name in names:
+        residuals[name] = nn_residual_mm(
+            read_program(os.path.join(pred_dir, f"{name}.txt")),
+            read_program(os.path.join(gt_dir, f"{name}.txt")))
+    res_mean = float(np.mean([r["mean"] for r in residuals.values()]))
+    res_rms = float(np.mean([r["rms"] for r in residuals.values()]))
+
+    records = []
+    for mode in ("pointwise", "stroke"):
+        for amp in [0.0] + list(args.amplitudes):
+            covs = []
+            for name in names:
+                mesh = os.path.join(cat_dir, name, f"{name}.obj")
+                orig = os.path.join(cat_dir, name,
+                                    f"{name}_trajectory.txt")
+                truth = simulate_program(mesh, orig).reshape(-1, 3).mean(1)
+                rows = read_program(os.path.join(gt_dir, f"{name}.txt"))
+                pert = os.path.join(tmp, f"{name}_{mode}_{amp:g}.txt")
+                write_program(pert, perturb(rows, amp, mode, rng))
+                sim = simulate_program(mesh, pert).reshape(-1, 3).mean(1)
+                covs.append(coverage_for_pair(truth, sim,
+                                              percentile=args.percentile))
+            rec = dict(category=args.category, mode=mode,
+                       amplitude_mm=amp,
+                       coverage=round(float(np.mean(covs)), 4),
+                       coverage_min=round(float(np.min(covs)), 4))
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    summary = dict(category=args.category, kind="model_residual",
+                   residual_mean_mm=round(res_mean, 2),
+                   residual_rms_mm=round(res_rms, 2),
+                   per_item={k: {kk: round(vv, 2) for kk, vv in v.items()}
+                             for k, v in residuals.items()})
+    records.append(summary)
+    print(json.dumps(summary), flush=True)
+    with open(args.out, "a") as fh:
+        for rec in records:
+            fh.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

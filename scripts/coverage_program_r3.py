@@ -70,7 +70,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
                     choices=["scaling", "full", "all", "normlayer", "bf16",
-                             "hero"])
+                             "hero", "scaling32"])
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "coverage_r3.jsonl"))
     args = ap.parse_args()
@@ -100,6 +100,14 @@ def main():
             t0 = time.time()
             s = run_category("cuboids-v2", base_args(n_train=n_train))
             record(f"scaling_n{n_train}", s, t0)
+
+    if args.stage == "scaling32":
+        # re-run of the corrupted scaling_n32 point (the first attempt's
+        # training was cut short at 83s vs ~320s for its neighbours and
+        # its record is an outlier far below the n16 point)
+        t0 = time.time()
+        s = run_category("cuboids-v2", base_args(n_train=32))
+        record("scaling_n32", s, t0)
 
     if args.stage == "normlayer":
         # model.norm=layer flagship-recipe evidence (VERDICT #3b): full
