@@ -64,8 +64,11 @@ class PaintDataset:
         self.seg_budget = segment_budget(config)
         self.pt_budget = point_budget(config)
         self.max_n_strokes = int(config["max_n_strokes"])
-        self.online_subsampling = "pc_online_subsampling" in (
-            config.get("augmentations") or [])
+        # augmentations apply to the train split only: the reference
+        # passes ``augmentations`` just to the train dataset
+        # (train_maskplanner.py:118 vs the te_dataset call without it)
+        self.online_subsampling = split == "train" and (
+            "pc_online_subsampling" in (config.get("augmentations") or []))
         self.overfitting = bool(config.get("overfitting"))
         self._cache: dict[int, dict] = {}
         self.cache_size = int(config.get("cache_size") or 0)
@@ -173,6 +176,23 @@ class PaintDataset:
             pc = pc[choice]
         out = dict(item)
         out["point_cloud"] = pc.astype(np.float32)
+        return out
+
+    def full_item(self, index: int) -> dict:
+        """Materialized item with the FULL-resolution point cloud (the
+        online subsample deliberately not applied) — the staging form for
+        the device-resident augmentation path
+        (``device_dataset.stage_device_dataset``), which re-draws the
+        ``pc_points`` subset on device every step instead."""
+        if self.overfitting:
+            index = int(self.config.get("seed") or 0) % len(self)
+        item = self._cache.get(index)
+        if item is None:
+            item = self._materialize(index)
+            if len(self._cache) < self.cache_size:
+                self._cache[index] = item
+        out = dict(item)
+        out["point_cloud"] = item["point_cloud"].astype(np.float32)
         return out
 
     def _materialize(self, index: int) -> dict:
@@ -296,7 +316,8 @@ class PaintDataset:
             sps, order2 = extras.get_vectors_per_stroke(segments, seg_ids)
             hist, tgt, pid, eop = extras.history_batches_v2(
                 sps, order2, int(cfg["substroke_points"]))
-            if ("general_noise" in (cfg.get("augmentations") or [])
+            if (self.split == "train"
+                    and "general_noise" in (cfg.get("augmentations") or [])
                     and cfg.get("sample_substroke_v2")):
                 # noisy teacher forcing (reference paintnet_ODv1.py:429-448)
                 hist = extras.add_history_noise(

@@ -29,8 +29,11 @@ def device_dataset_eligible(config, n_devices: int,
     - the batch divides over the mesh (multi-device: the split is staged
       replicated — it is small — and each scanned batch is re-sharded on
       the data axis inside the jitted epoch),
-    - no host-side per-epoch augmentations (``pc_online_subsampling``
-      resamples on the host each epoch),
+    - no host-side per-epoch augmentations other than
+      ``pc_online_subsampling`` (which moves ON device: the full-resolution
+      clouds are staged and the per-step subset is drawn inside the
+      scanned step — reference paintnet_ODv1.py:422-426 semantics at
+      epoch-as-one-dispatch speed),
     - no adversarial loss (the GAN step threads discriminator state).
     """
     flag = str(config.get("device_dataset", "auto")).lower()
@@ -42,7 +45,8 @@ def device_dataset_eligible(config, n_devices: int,
         # stay on the per-step host loader rather than risk a trace-time
         # sharding failure inside the scanned epoch
         return False
-    if config.get("augmentations"):
+    augs = list(config.get("augmentations") or [])
+    if augs and augs != ["pc_online_subsampling"]:
         return False
     if any(n in ("discriminator", "wdiscriminator")
            for n in config["loss"]):
@@ -64,7 +68,23 @@ def stage_device_dataset(dataset, byte_limit: int = _DEFAULT_BYTE_LIMIT,
     """
     import jax
 
-    items = [dataset[i] for i in range(len(dataset))]
+    if getattr(dataset, "online_subsampling", False):
+        # stage FULL-resolution clouds; the scanned step draws a fresh
+        # ``pc_points`` subset per sample per step (trainer.subsample_pc).
+        # Disk clouds vary slightly in size (~10k Poisson points): unify
+        # to the smallest, capped at the synthetic raw contract of
+        # 2x pc_points, with a per-item seeded pre-subsample.
+        items = [dataset.full_item(i) for i in range(len(dataset))]
+        raw = min(min(it["point_cloud"].shape[0] for it in items),
+                  2 * dataset.pc_points)
+        for i, it in enumerate(items):
+            pc = it["point_cloud"]
+            if pc.shape[0] > raw:
+                choice = np.random.default_rng(i).choice(
+                    pc.shape[0], raw, replace=False)
+                it["point_cloud"] = pc[choice]
+    else:
+        items = [dataset[i] for i in range(len(dataset))]
     stacked = collate(items)
     nbytes = sum(np.asarray(v).nbytes for v in stacked.values())
     if nbytes > byte_limit:

@@ -154,10 +154,26 @@ def make_scan_train_epoch(model, handler: LossHandler, config, mesh=None):
         axis = mesh.axis_names[0]
         data_spec = NamedSharding(mesh, P(axis))
 
+    pc_points = int(config["pc_points"])
+
     def train_epoch(state: TrainState, data, perm, weights, rng):
         def body(st, idx):
             batch = jax.tree_util.tree_map(
                 lambda a: jnp.take(a, idx, axis=0), data)
+            if batch["point_cloud"].shape[1] > pc_points:
+                # on-device pc_online_subsampling: the staged clouds are
+                # full-resolution; draw a fresh without-replacement subset
+                # per sample per step (reference paintnet_ODv1.py:422-426;
+                # the host loader's draw is unseeded, so the contract is
+                # "fresh random subset each epoch", not a bit pattern)
+                pc = batch["point_cloud"]
+                keys = jax.random.split(
+                    jax.random.fold_in(rng, st.step + (1 << 20)),
+                    pc.shape[0])
+                sub = jax.vmap(lambda k: jax.random.permutation(
+                    k, pc.shape[1])[:pc_points])(keys)
+                batch["point_cloud"] = jnp.take_along_axis(
+                    pc, sub[:, :, None], axis=1)
             if data_spec is not None:
                 batch = jax.tree_util.tree_map(
                     lambda a: jax.lax.with_sharding_constraint(a, data_spec),

@@ -113,20 +113,24 @@ def main():
     res_mean = float(np.mean([r["mean"] for r in residuals.values()]))
     res_rms = float(np.mean([r["rms"] for r in residuals.values()]))
 
+    # the GT-threshold reference simulation is perturbation-independent
+    truths = {}
+    for name in names:
+        mesh = os.path.join(cat_dir, name, f"{name}.obj")
+        orig = os.path.join(cat_dir, name, f"{name}_trajectory.txt")
+        truths[name] = simulate_program(mesh, orig).reshape(-1, 3).mean(1)
+
     records = []
     for mode in ("pointwise", "stroke"):
         for amp in [0.0] + list(args.amplitudes):
             covs = []
             for name in names:
                 mesh = os.path.join(cat_dir, name, f"{name}.obj")
-                orig = os.path.join(cat_dir, name,
-                                    f"{name}_trajectory.txt")
-                truth = simulate_program(mesh, orig).reshape(-1, 3).mean(1)
                 rows = read_program(os.path.join(gt_dir, f"{name}.txt"))
                 pert = os.path.join(tmp, f"{name}_{mode}_{amp:g}.txt")
                 write_program(pert, perturb(rows, amp, mode, rng))
                 sim = simulate_program(mesh, pert).reshape(-1, 3).mean(1)
-                covs.append(coverage_for_pair(truth, sim,
+                covs.append(coverage_for_pair(truths[name], sim,
                                               percentile=args.percentile))
             rec = dict(category=args.category, mode=mode,
                        amplitude_mm=amp,

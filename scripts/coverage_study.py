@@ -79,7 +79,9 @@ def run_category(category: str, args) -> dict:
             f"seed={args.seed}", "no_save=false",
             f"output_dir={tmp}",
         ] + (["model.bf16=true"] if args.bf16 else [])
-          + ([f"model.norm={args.norm}"] if args.norm != "batch" else []))
+          + ([f"model.norm={args.norm}"] if args.norm != "batch" else [])
+          + (["augmentations=[pc_online_subsampling]"]
+             if getattr(args, "augment", False) else []))
         run_dir, _ = train_maskplanner.main(cfg)
 
         old_argv = sys.argv

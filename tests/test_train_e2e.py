@@ -193,6 +193,67 @@ class TestDeviceDatasetEpoch:
                                        rtol=1e-5, atol=1e-5)
         assert int(state_b.step) == int(state_a.step) == len(losses_a)
 
+    def test_scan_epoch_online_subsampling_on_device(self, tmp_path):
+        """With pc_online_subsampling the staged split keeps the
+        full-resolution clouds (2x pc_points for the synthetic source,
+        reference paintnet_ODv1.py:422-426) and the scanned step draws a
+        fresh per-sample subset each step — deterministic under the train
+        rng, different draw per step."""
+        import jax
+        import numpy as np
+
+        from maskplanner_tpu.data.dataset import PaintDataset
+        from maskplanner_tpu.data.device_dataset import (
+            epoch_perm, stage_device_dataset, device_dataset_eligible)
+        from maskplanner_tpu.losses import LossHandler
+        from maskplanner_tpu.models import get_model
+        from maskplanner_tpu.train import create_train_state
+        from maskplanner_tpu.train.trainer import make_scan_train_epoch
+
+        cfg = tiny_config(tmp_path, dataset_size=4, batch_size=2,
+                          augmentations="[pc_online_subsampling]")
+        assert device_dataset_eligible(cfg, n_devices=1)
+        ds = PaintDataset(cfg, split="train", size=4)
+        data = stage_device_dataset(ds)
+        # staged clouds are full resolution; items emitted by __getitem__
+        # are subsampled to pc_points
+        assert data["point_cloud"].shape[1] == 2 * ds.pc_points
+        assert ds[0]["point_cloud"].shape[0] == ds.pc_points
+
+        model = get_model(cfg)
+        rng = jax.random.PRNGKey(0)
+        handler = LossHandler(cfg["loss"], cfg)
+        weights = handler.init_weights()
+        pc0 = np.asarray(ds[0]["point_cloud"])[None]
+        perm = epoch_perm(len(ds), 2, seed=1, epoch=0)
+        train_epoch = make_scan_train_epoch(model, handler, cfg)
+
+        state = create_train_state(model, cfg, rng, pc0)
+        _, losses_a, _ = train_epoch(state, data, perm, weights, rng)
+        state = create_train_state(model, cfg, rng, pc0)
+        _, losses_b, _ = train_epoch(state, data, perm, weights, rng)
+        # deterministic: same staged data + rng -> identical epoch
+        np.testing.assert_array_equal(np.asarray(losses_a),
+                                      np.asarray(losses_b))
+        assert np.all(np.isfinite(np.asarray(losses_a)))
+
+        # the draw mechanism (same computation as the scan body): a fresh
+        # without-replacement subset per sample per step
+        P, n_pc = int(data["point_cloud"].shape[1]), ds.pc_points
+        def draw(step):
+            keys = jax.random.split(
+                jax.random.fold_in(rng, step + (1 << 20)), 2)
+            return np.asarray(jax.vmap(
+                lambda k: jax.random.permutation(k, P)[:n_pc])(keys))
+        s0, s1 = draw(0), draw(1)
+        for s in (s0, s1):
+            assert s.shape == (2, n_pc)
+            for row in s:  # without replacement, in range
+                assert len(set(row.tolist())) == n_pc
+                assert row.min() >= 0 and row.max() < P
+        assert not np.array_equal(s0, s1)       # varies across steps
+        assert not np.array_equal(s0[0], s0[1])  # varies across samples
+
     def test_driver_uses_scan_path(self, tmp_path):
         """The training driver auto-enables the device-resident path for
         eligible configs and still trains/checkpoints normally."""
@@ -221,8 +282,14 @@ class TestDeviceDatasetEligibility:
         assert not device_dataset_eligible(cfg, n_devices=8, batch_size=6)
         # unknown batch size cannot prove divisibility -> ineligible
         assert not device_dataset_eligible(cfg, n_devices=8)
+        # pc_online_subsampling moves on device (staged full clouds +
+        # per-step subset draw inside the scan) — still eligible
         cfg2 = tiny_config(tmp_path, augmentations="[pc_online_subsampling]")
-        assert not device_dataset_eligible(cfg2, n_devices=1)
+        assert device_dataset_eligible(cfg2, n_devices=1)
+        # any other (host-side) augmentation disables the scan path
+        cfg2b = tiny_config(
+            tmp_path, augmentations="[pc_online_subsampling,general_noise]")
+        assert not device_dataset_eligible(cfg2b, n_devices=1)
         cfg3 = tiny_config(tmp_path)
         cfg3["loss"] = ["chamfer", "wdiscriminator"]
         assert not device_dataset_eligible(cfg3, n_devices=1)
