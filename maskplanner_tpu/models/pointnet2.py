@@ -149,8 +149,9 @@ class SetAbstraction(nn.Module):
 
         fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
         new_xyz = index_points(xyz, fps_idx)            # (B, S, 3)
-        grouped, _ = ball_group_pallas(self.radius, self.nsample,
-                                       xyz, new_xyz, features)
+        grouped, _ = ball_group_pallas(
+            self.radius, self.nsample, xyz, new_xyz, features,
+            single_pass=self.dtype == jnp.bfloat16)
         return new_xyz, self._folded_mlp(grouped, features)
 
     def _folded_mlp(self, grouped, features):
@@ -182,14 +183,16 @@ class SetAbstraction(nn.Module):
             fps_key = self.make_rng("fps")
         # Eval-mode BN folding: always a win for feature-bearing levels
         # (sa2: 4.85 -> 2.78/2.44 ms f32/bf16 at batch 64). The xyz-only
-        # first level stays on the unfused path IN F32 FOR BOTH MODEL
-        # DTYPES: its cost is FPS (2.2 ms) + the fused gather (5.7 ms),
-        # both dtype-independent, and its MLP is 0.8 ms — bf16 there only
-        # buys cast churn (round-2's bf16 inference regression lived in
-        # exactly these Dense(bf16)+BatchNorm(f32) cast round-trips).
+        # first level stays unfused in f32 for F32 MODELS (its MLP is
+        # 0.8 ms; folding buys nothing there) — but for BF16 MODELS the
+        # folded path now pays off at sa1 too: the single-pass (hi-only)
+        # gather halves the extraction matmuls that dominate the level,
+        # and the folded bf16 Dense chain avoids the Dense(bf16)->BN(f32)
+        # cast churn that caused round-2's bf16 inference regression.
         if (not train and not self.group_all and full_points is None
                 and self.norm == "batch" and _use_fused_sa()
-                and features is not None):
+                and (features is not None
+                     or self.dtype == jnp.bfloat16)):
             return self._folded_inference(xyz, features, fps_key)
         mlp_dtype = self.dtype
         if (not train and features is None and not self.group_all
@@ -207,14 +210,14 @@ class SetAbstraction(nn.Module):
                 grouped = jnp.concatenate(
                     [grouped, features[:, None, :, :]], axis=-1
                 )
-            if (not train and self.norm == "batch" and _use_fused_sa()
-                    and self.dtype == jnp.bfloat16):
-                # bf16 eval: the unfused Dense(bf16)+BN(f32) chain pays a
-                # cast round-trip per layer on the (B, 1, N, 1024) global
-                # level; folding keeps it all bf16 (+0.8 ms saved at the
-                # flagship shape, the residual that kept whole-model bf16
-                # eval behind f32)
-                return new_xyz, self._folded_mlp(grouped, features)
+            if not train and self.dtype == jnp.bfloat16:
+                # bf16 eval at the global level: run the unfused chain in
+                # f32, like sa1 (measured: f32 unfused ~0.0 ms at the
+                # flagship shape vs 0.48 ms for the bf16 folded matmuls
+                # and ~0.8 ms for the bf16 unfused cast-churn chain — the
+                # (B, 1, S, C) tensors here are small enough that XLA's
+                # fused f32 path wins outright)
+                mlp_dtype = jnp.float32
         else:
             fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
             new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
@@ -234,8 +237,12 @@ class SetAbstraction(nn.Module):
                 # two-stage for the narrow sa1 table)
                 from ..ops.pallas.group_gather import ball_group_pallas
 
-                grouped, _ = ball_group_pallas(self.radius, self.nsample,
-                                               xyz, new_xyz, features)
+                # bf16 models: the MLP casts the grouped tensor to bf16
+                # anyway — extract with the hi pass only (half the one-hot
+                # MXU work; sa1's extraction dominates the encoder eval)
+                grouped, _ = ball_group_pallas(
+                    self.radius, self.nsample, xyz, new_xyz, features,
+                    single_pass=mlp_dtype == jnp.bfloat16)
             else:
                 group_idx = query_ball_point(self.radius, self.nsample, xyz,
                                              new_xyz)

@@ -38,7 +38,8 @@ def _mm(a, b):
                                precision=jax.lax.Precision.DEFAULT)
 
 
-def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0):
+def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0,
+            single_pass: bool = False):
     # xt_ref: (1, C, N) channels (rows 0..2 = xyz); qt_ref: (1, 3, TS)
     # refs: [xtb (1, C_pad*block_w, N/block_w) if block_w], out_ref
     # (1, C, K, TS), idx_ref (1, K, TS)
@@ -64,7 +65,10 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0):
     # ~3x cheaper than a HIGHEST-precision f32 contraction. Narrow
     # channel counts use the two-stage block gather (see fused_sa.py):
     # block one-hot over N/block_w columns, then in-block lane select +
-    # constant segment-sum matmul.
+    # constant segment-sum matmul. ``single_pass`` skips the lo
+    # contraction — values land bf16-rounded, which is exactly the
+    # rounding a bf16 consumer applies anyway (bf16 models' MLPs cast
+    # the grouped tensor to bf16), at half the extraction MXU work.
     if block_w:
         xtb = xtb_ref[0]
         xtb_hi = xtb.astype(jnp.bfloat16)
@@ -111,7 +115,9 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0):
             hi = jnp.floor(cur_eff * (1.0 / block_w))
             lo = cur_eff - hi * block_w
             bohot = (iota_nb == hi[None, :]).astype(jnp.bfloat16)
-            gb = _mm(xtb_hi, bohot) + _mm(xtb_lo, bohot)          # (R, TS)
+            gb = _mm(xtb_hi, bohot)                               # (R, TS)
+            if not single_pass:
+                gb = gb + _mm(xtb_lo, bohot)
             sel = jnp.where(row_mod == lo[None, :], gb, 0.0)
             g = jax.lax.dot_general(
                 seg, sel, (((1,), (0,)), ((), ())),
@@ -119,13 +125,17 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0):
                 precision=jax.lax.Precision.HIGHEST)[:xt.shape[0]]
         else:
             onehot = (iota_n == cur_eff[None, :]).astype(jnp.bfloat16)
-            g = _mm(xt_hi, onehot) + _mm(xt_lo, onehot)           # (C, TS)
+            g = _mm(xt_hi, onehot)                                # (C, TS)
+            if not single_pass:
+                g = g + _mm(xt_lo, onehot)
         out_ref[0, :, k, :] = g
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "nsample", "tile_s"))
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "tile_s",
+                                              "single_pass"))
 def _ball_group_raw(radius: float, nsample: int, xt: jax.Array,
-                    qt: jax.Array, tile_s: int = 128):
+                    qt: jax.Array, tile_s: int = 128,
+                    single_pass: bool = False):
     """xt: (B, C, N) source channels; qt: (B, 3, S) query coords.
     Returns (out (B, C, K, S), idx (B, K, S) int32)."""
     B, C, N = xt.shape
@@ -160,7 +170,7 @@ def _ball_group_raw(radius: float, nsample: int, xt: jax.Array,
 
     out, idx = pl.pallas_call(
         functools.partial(_kernel, radius2=float(radius) ** 2, K=nsample,
-                          block_w=block_w),
+                          block_w=block_w, single_pass=single_pass),
         out_shape=(
             jax.ShapeDtypeStruct((B, C, nsample, S + pads), jnp.float32),
             jax.ShapeDtypeStruct((B, nsample, S + pads), jnp.int32),
@@ -182,29 +192,43 @@ def _ball_group_raw(radius: float, nsample: int, xt: jax.Array,
     return out[..., :S], idx[..., :S]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _ball_group_diff(radius: float, nsample: int, single_pass: bool,
+                     xyz: jax.Array, new_xyz: jax.Array,
+                     features: jax.Array | None):
+    return _ball_group_fwd_impl(radius, nsample, xyz, new_xyz, features,
+                                single_pass)
+
+
 def ball_group_pallas(radius: float, nsample: int, xyz: jax.Array,
-                      new_xyz: jax.Array, features: jax.Array | None = None):
+                      new_xyz: jax.Array, features: jax.Array | None = None,
+                      single_pass: bool = False):
     """Fused grouping: for each query, the first-K in-radius neighbours'
     relative coordinates (and features, if given).
 
     xyz: (B, N, 3); new_xyz: (B, S, 3); features: optional (B, N, F).
     Returns (grouped (B, S, K, 3+F), idx (B, S, K) int32) where grouped
     channels are [xyz - query, features].
+
+    ``single_pass``: extract values with the hi contraction only —
+    bf16-rounded values at half the MXU extraction work. Use when the
+    consumer is a bf16 MLP (it would round the grouped tensor to bf16
+    anyway); the backward scatter is index-based and unaffected.
     """
-    grouped, idx = _ball_group_fwd_impl(radius, nsample, xyz, new_xyz,
-                                        features)
-    return grouped, idx
+    return _ball_group_diff(radius, nsample, bool(single_pass), xyz,
+                            new_xyz, features)
 
 
-def _ball_group_fwd_impl(radius, nsample, xyz, new_xyz, features):
+def _ball_group_fwd_impl(radius, nsample, xyz, new_xyz, features,
+                         single_pass=False):
     xt = jnp.swapaxes(xyz, 1, 2)                    # (B, 3, N)
     if features is not None:
         xt = jnp.concatenate([xt, jnp.swapaxes(features, 1, 2)], axis=1)
     qt = jnp.swapaxes(new_xyz, 1, 2)                # (B, 3, S)
     out, idx = _ball_group_raw(radius, nsample,
                                jax.lax.stop_gradient(xt),
-                               jax.lax.stop_gradient(qt))
+                               jax.lax.stop_gradient(qt),
+                               single_pass=single_pass)
     out = jnp.transpose(out, (0, 3, 2, 1))          # (B, S, K, C)
     idx = jnp.swapaxes(idx, 1, 2)                   # (B, S, K)
     rel = out[..., :3] - new_xyz[:, :, None, :]
@@ -215,9 +239,9 @@ def _ball_group_fwd_impl(radius, nsample, xyz, new_xyz, features):
     return grouped, idx
 
 
-def _ball_group_fwd(radius, nsample, xyz, new_xyz, features):
+def _ball_group_fwd(radius, nsample, single_pass, xyz, new_xyz, features):
     grouped, idx = _ball_group_fwd_impl(radius, nsample, xyz, new_xyz,
-                                        features)
+                                        features, single_pass)
     res = (idx, xyz.shape, new_xyz.shape,
            None if features is None else features.shape)
     return (grouped, idx), res
@@ -236,7 +260,7 @@ def _scatter_by_onehot(flat_idx, d_vals, n_rows):
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def _ball_group_bwd(radius, nsample, res, cts):
+def _ball_group_bwd(radius, nsample, single_pass, res, cts):
     """VJP of the fused gather: cotangents scatter back to the gathered
     sources (indices are piecewise constant). Unused branches (e.g. d_xyz
     when the point cloud is input data) are dead-code-eliminated by XLA."""
@@ -258,4 +282,4 @@ def _ball_group_bwd(radius, nsample, res, cts):
     return d_xyz, d_new, d_feat
 
 
-ball_group_pallas.defvjp(_ball_group_fwd, _ball_group_bwd)
+_ball_group_diff.defvjp(_ball_group_fwd, _ball_group_bwd)
