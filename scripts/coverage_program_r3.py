@@ -59,7 +59,7 @@ def base_args(**over):
         epochs=1200, n_train=48, n_test=8, pc_points=2048,
         batch_size=8, percentile=10, split="test",
         seed=7, postprocess=True, bf16=False, norm="batch",
-        deterministic=True, mesh_edge=0.10, max_n_strokes=12,
+        augment=False, deterministic=True, mesh_edge=0.10, max_n_strokes=12,
         eval_divisor=8, **_SHAPES,
     )
     d.update(over)
@@ -70,7 +70,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
                     choices=["scaling", "full", "all", "normlayer", "bf16",
-                             "hero", "scaling32"])
+                             "hero", "scaling32", "augmhero", "augmfull"])
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "coverage_r3.jsonl"))
     args = ap.parse_args()
@@ -133,6 +133,28 @@ def main():
             s = run_category(cat, base_args(epochs=4800, n_train=96,
                                             eval_divisor=16))
             record(f"hero_{cat}", s, t0)
+
+    if args.stage == "augmhero":
+        # hero + the reference's pc_online_subsampling augmentation
+        # (augm_v1.yaml; on-device per-step subset draw): the hero
+        # windows run overfit late (eval PCD diverged after ~epoch 1500
+        # while train loss kept falling) — per-epoch cloud resampling is
+        # the reference's own regularizer for exactly that
+        for cat in ("cuboids-v2", "windows-v2"):
+            t0 = time.time()
+            s = run_category(cat, base_args(epochs=4800, n_train=96,
+                                            eval_divisor=16, augment=True))
+            record(f"augmhero_{cat}", s, t0)
+
+    if args.stage == "augmfull":
+        # full-budget operating point with the augmentation, all four
+        # categories — head-to-head against the `full_*` rows
+        for cat in ("cuboids-v2", "windows-v2", "shelves-v2",
+                    "containers-v2"):
+            t0 = time.time()
+            s = run_category(cat, base_args(epochs=2400, n_train=48,
+                                            eval_divisor=16, augment=True))
+            record(f"augmfull_{cat}", s, t0)
 
 
 if __name__ == "__main__":
