@@ -24,6 +24,70 @@ def _use_fused_group() -> bool:
     return _use_pallas()
 
 
+def _use_algebraic_bn() -> bool:
+    """Folded-stats BatchNorm training path (opt out with
+    MASKPLANNER_NO_ALGEBRAIC_BN=1 for A/B benchmarking)."""
+    import os
+
+    return not os.environ.get("MASKPLANNER_NO_ALGEBRAIC_BN")
+
+
+@jax.custom_vjp
+def _relu_saveout(a):
+    """ReLU whose VJP keys off the *output* instead of the input.
+
+    ``jnp.maximum(a, 0)``'s VJP saves the pre-activation ``a`` — a
+    full-size residual the folded-BN path otherwise never materializes.
+    ``z > 0  <=>  a > 0`` (and at ``a <= 0`` both give zero cotangent),
+    so gating on the saved output is gradient-identical while the
+    residual dedups with the next layer's input."""
+    return jnp.maximum(a, 0)
+
+
+def _relu_saveout_fwd(a):
+    z = jnp.maximum(a, 0)
+    return z, z
+
+
+def _relu_saveout_bwd(z, g):
+    return (jnp.where(z > 0, g, jnp.zeros_like(g)),)
+
+
+_relu_saveout.defvjp(_relu_saveout_fwd, _relu_saveout_bwd)
+
+
+class _AlgebraicBatchNorm(nn.Module):
+    """BatchNorm statistics holder with ``nn.BatchNorm``'s exact variable
+    layout (params ``scale``/``bias``, batch_stats ``mean``/``var``) whose
+    __call__ takes the *algebraically computed* batch moments of the
+    pre-activation and returns the folded (inv, shift) pair. Checkpoints
+    are interchangeable with the ``nn.BatchNorm`` branch."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, mu_y, var_y, train: bool):
+        c = mu_y.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            mu, var = mu_y, var_y
+            m = self.momentum
+            ra_mean.value = (m * ra_mean.value
+                             + (1.0 - m) * jax.lax.stop_gradient(mu))
+            ra_var.value = (m * ra_var.value
+                            + (1.0 - m) * jax.lax.stop_gradient(var))
+        else:
+            mu, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return inv, bias - mu * inv
+
+
 def _use_fused_sa() -> bool:
     """Whole-level fused SA kernel (opt out with MASKPLANNER_NO_FUSED_SA=1
     for A/B benchmarking)."""
@@ -58,19 +122,71 @@ class PointMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm: str = "batch"
 
+    def _folded_bn_layer(self, dense, li, x):
+        """One training-mode Dense+BN+ReLU layer with *algebraic* batch
+        statistics: the moments of ``y = xW + b`` over the batch set are
+        computed from the input's mean and Gram matrix
+        (``mu_y = x̄W + b``, ``var_c = w_cᵀ Cov(x) w_c``) — tiny
+        (Cin, Cin) matmuls — after which the BN scale/shift folds into
+        the Dense weights. The pre-BN tensor ``y`` and the normalized
+        ``x̂`` are never materialized, in forward OR backward: each layer
+        is one folded dot with a fused ReLU epilogue, cutting the
+        HBM traffic of the BN-heavy grouped MLPs (the round-2 roofline
+        gap, PARITY.md §6) while computing the same statistics up to
+        float reassociation. Gradients flow through the moment algebra,
+        reproducing true BatchNorm training gradients."""
+        f32 = jnp.float32
+        xl = x.astype(self.dtype)
+        # materialize/bind the Dense params without running the big dot
+        dense(jnp.zeros((1, x.shape[-1]), self.dtype))
+        p = dense.variables["params"]
+        w = p["kernel"].astype(f32)                       # (Cin, C)
+        b = p["bias"].astype(f32)                         # (C,)
+        x2 = xl.reshape(-1, xl.shape[-1])                 # (M, Cin)
+        m = x2.shape[0]
+        # stats precision: bf16 inputs multiply exactly into the f32
+        # accumulator (one pass); f32 inputs take the 3-pass split so the
+        # moments are f32-grade even where the backend's default matmul
+        # precision is a single bf16 pass
+        prec = (None if self.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGH)
+        xbar = jnp.mean(x2, axis=0, dtype=f32)            # (Cin,)
+        gram = jnp.matmul(x2.T, x2, preferred_element_type=f32,
+                          precision=prec) / m
+        cov = gram - jnp.outer(xbar, xbar)                # (Cin, Cin)
+        hi = jax.lax.Precision.HIGHEST
+        mu_y = jnp.matmul(xbar, w, precision=hi) + b      # (C,)
+        var_y = jnp.maximum(
+            jnp.einsum("jc,jk,kc->c", w, cov, w, precision=hi), 0.0)
+        inv, shift = _AlgebraicBatchNorm(name=f"BatchNorm_{li}")(
+            mu_y, var_y, True)
+        wf = (w * inv[None, :]).astype(self.dtype)
+        # the Dense bias rides the shift: out = x(W·inv) + (b - mu_y)·inv
+        # + beta. Under BN, b cancels against its own contribution to
+        # mu_y — autodiff reproduces its exactly-zero gradient
+        a = (jnp.matmul(xl, wf, preferred_element_type=self.dtype)
+             + (b * inv + shift)).astype(self.dtype)
+        return _relu_saveout(a)
+
     @nn.compact
     def __call__(self, x, train: bool):
-        for c in self.channels:
-            x = nn.Dense(c, dtype=self.dtype)(x)
+        algebraic = (self.norm == "batch" and train and _use_algebraic_bn())
+        for li, c in enumerate(self.channels):
+            dense = nn.Dense(c, dtype=self.dtype, name=f"Dense_{li}")
+            if algebraic:
+                x = self._folded_bn_layer(dense, li, x)
+                continue
+            x = dense(x)
             if self.norm == "batch":
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     axis=-1,
                     dtype=jnp.float32,
+                    name=f"BatchNorm_{li}",
                 )(x)
             elif self.norm == "layer":
-                x = nn.LayerNorm(dtype=jnp.float32)(x)
+                x = nn.LayerNorm(dtype=jnp.float32, name=f"LayerNorm_{li}")(x)
             elif self.norm != "none":
                 raise ValueError(f"unknown norm: {self.norm!r}")
             x = nn.relu(x)
