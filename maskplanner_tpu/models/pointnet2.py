@@ -25,11 +25,18 @@ def _use_fused_group() -> bool:
 
 
 def _use_algebraic_bn() -> bool:
-    """Folded-stats BatchNorm training path (opt out with
-    MASKPLANNER_NO_ALGEBRAIC_BN=1 for A/B benchmarking)."""
+    """Folded-stats BatchNorm training path — OPT-IN experiment
+    (MASKPLANNER_ALGEBRAIC_BN=1).
+
+    Math-equal to nn.BatchNorm (tests/test_algebraic_bn.py) but measured
+    SLOWER on v5e at the flagship shape (scripts/ab_algebraic_bn.py,
+    round 4: f32 81.1 vs 46.8 ms, bf16 51.3 vs 32.8 ms at batch 64) — the
+    per-layer (Cin,Cin) Gram over M≈1M rows at sa1 costs more than the
+    HBM passes it saves. Default off; kept as a measured dead-end record
+    and for future shapes where the fold could win."""
     import os
 
-    return not os.environ.get("MASKPLANNER_NO_ALGEBRAIC_BN")
+    return bool(os.environ.get("MASKPLANNER_ALGEBRAIC_BN"))
 
 
 @jax.custom_vjp
