@@ -386,6 +386,53 @@ class SetAbstraction(nn.Module):
         return new_xyz, new_features
 
 
+class SetAbstractionMsg(nn.Module):
+    """PointNet++ set-abstraction level with multi-scale grouping (MSG).
+
+    Reference: ``PointNetSetAbstractionMsg``
+    (models/pointnet2_utils.py:219-276) — defined but never instantiated in
+    any released reference path; ported for completeness (VERDICT r3 item 9).
+    One FPS draw of ``npoint`` centers shared across scales; each scale i
+    ball-queries ``radii[i]``/``nsamples[i]`` neighbours, concatenates the
+    gathered features with the RELATIVE xyz offsets (feature-first order,
+    reference :261-263), runs its own Conv-BN-ReLU stack (``PointMLP``),
+    max-pools over the neighbourhood, and the per-scale descriptors
+    concatenate along channels. Channel-last throughout, like
+    ``SetAbstraction``.
+    """
+
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    dtype: jnp.dtype = jnp.float32
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool, fps_key=None):
+        assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        if fps_key is None and train and self.has_rng("fps"):
+            fps_key = self.make_rng("fps")
+        fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+        new_xyz = index_points(xyz, fps_idx)            # (B, S, 3)
+        scale_feats = []
+        for i, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            group_idx = query_ball_point(radius, nsample, xyz, new_xyz)
+            grouped_xyz = (index_points(xyz, group_idx)
+                           - new_xyz[:, :, None, :])    # (B, S, K, 3)
+            if features is not None:
+                grouped = jnp.concatenate(
+                    [index_points(features, group_idx), grouped_xyz],
+                    axis=-1)
+            else:
+                grouped = grouped_xyz
+            feat = PointMLP(mlp, dtype=self.dtype, norm=self.norm,
+                            name=f"mlp_{i}")(grouped, train=train)
+            scale_feats.append(jnp.max(feat.astype(jnp.float32), axis=-2))
+        return new_xyz, jnp.concatenate(scale_feats, axis=-1)
+
+
 class FeaturePropagation(nn.Module):
     """Inverse-distance 3-NN feature upsampling.
 

@@ -48,12 +48,32 @@ def replicate(tree, mesh: Mesh):
 
 def distributed_init():
     """Initialize multi-process JAX if a coordinator is configured (no-op
-    otherwise). Call before any backend use on multi-host TPU pods."""
+    otherwise). Call before any backend use on multi-host TPU pods.
+
+    Config sources, in order:
+    - ``JAX_COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES`` +
+      ``JAX_PROCESS_ID``: explicit env-driven init (used by the in-repo
+      2-process CPU dryrun, tests/test_parallel.py, and any launcher that
+      exports them);
+    - ``JAX_NUM_PROCESSES`` alone: defer to ``jax.distributed``'s cluster
+      auto-detection (TPU pod metadata, SLURM, ...).
+
+    On the CPU backend the cross-process collectives implementation is
+    switched to gloo first — pure-CPU multi-process (virtual-device
+    dryruns, CI) has no ICI/DCN transport otherwise.
+    """
     import os
 
-    if int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1 or \
-            os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    num = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num > 1 or coord:
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        kwargs = {}
+        if coord and os.environ.get("JAX_PROCESS_ID") is not None:
+            kwargs = dict(coordinator_address=coord, num_processes=num,
+                          process_id=int(os.environ["JAX_PROCESS_ID"]))
+        jax.distributed.initialize(**kwargs)
     return jax.process_index(), jax.process_count()
 
 
@@ -78,7 +98,12 @@ def shard_batch_global(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict
         if arr.ndim == 0:
             out[k] = jax.device_put(arr, scalar)
         else:
-            out[k] = jax.make_array_from_process_local_data(sharding, arr)
+            # each process holds global/process_count leading rows; the
+            # global shape must be stated explicitly (the default takes
+            # the local shape as global)
+            gshape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, arr, gshape)
     return out
 
 

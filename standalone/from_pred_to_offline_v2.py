@@ -46,6 +46,10 @@ def parse_args():
     p.add_argument("--segments_filtering_only", action="store_true")
     p.add_argument("--no_interpolation", action="store_true")
     p.add_argument("--custom_data_scale_factor", type=float, default=None)
+    p.add_argument("--confidence_threshold", type=float, default=0.5,
+                   help="stroke-mask confidence filter (reference "
+                        "utils/postprocessing.py:126-131 DETR-style "
+                        "threshold; sweepable offline on saved dumps)")
     p.add_argument("--force_overwrite", action="store_true")
     return p.parse_args()
 
@@ -83,7 +87,8 @@ def main():
     for path in files:
         dump = np.load(path, allow_pickle=True).item()
         ids_pred = process_pred_stroke_masks_to_stroke_ids(
-            dump["pred_stroke_masks"], dump["stroke_masks_scores"])
+            dump["pred_stroke_masks"], dump["stroke_masks_scores"],
+            confidence_threshold=args.confidence_threshold)
         if args.postprocess:
             trajs, out_ids = process_stroke_segments(
                 dump["traj_pred"], ids_pred, config,
