@@ -470,6 +470,14 @@ class PointNet2Encoder(nn.Module):
 
     Layer sizes follow the reference backbone
     (models/pointnet2_cls_ssg.py:266-268).
+
+    ``norm`` is either one mode for all levels ("batch" | "layer" |
+    "none") or a per-level hybrid spec joined with "+"
+    (e.g. ``"layer+batch+batch"`` = fused layer-norm at sa1, reference
+    BatchNorm at sa2/sa3): the fused whole-level Pallas train path only
+    exists for layer/none levels, so a hybrid buys most of the fused
+    path's step-time win while keeping BatchNorm where convergence
+    demands it (docs/convergence.md norm study).
     """
 
     dtype: jnp.dtype = jnp.float32
@@ -477,17 +485,22 @@ class PointNet2Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, train: bool, fps_keys=None):
+        norms = self.norm.split("+")
+        if len(norms) == 1:
+            norms = norms * 3
+        assert len(norms) == 3, f"per-level norm spec needs 3 entries: " \
+                                f"{self.norm!r}"
         k1 = k2 = None
         if fps_keys is not None:
             k1, k2 = fps_keys
         l1_xyz, l1_f = SetAbstraction(512, 0.2, 32, (64, 64, 128), dtype=self.dtype,
-                                      norm=self.norm,
+                                      norm=norms[0],
                                       name="sa1")(xyz, None, train, fps_key=k1)
         l2_xyz, l2_f = SetAbstraction(128, 0.4, 64, (128, 128, 256), dtype=self.dtype,
-                                      norm=self.norm,
+                                      norm=norms[1],
                                       name="sa2")(l1_xyz, l1_f, train, fps_key=k2)
         _, l3_f = SetAbstraction(None, None, None, (256, 512, 1024), group_all=True,
-                                 dtype=self.dtype, norm=self.norm,
+                                 dtype=self.dtype, norm=norms[2],
                                  name="sa3")(l2_xyz, l2_f, train)
         return l3_f[:, 0, :]  # (B, 1024)
 

@@ -81,7 +81,8 @@ def run_category(category: str, args) -> dict:
         ] + (["model.bf16=true"] if args.bf16 else [])
           + ([f"model.norm={args.norm}"] if args.norm != "batch" else [])
           + (["augmentations=[pc_online_subsampling]"]
-             if getattr(args, "augment", False) else []))
+             if getattr(args, "augment", False) else [])
+          + list(getattr(args, "overrides", [])))
         run_dir, _ = train_maskplanner.main(cfg)
 
         old_argv = sys.argv

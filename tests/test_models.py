@@ -115,6 +115,39 @@ class TestModelZoo:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
+    def test_encoder_norm_hybrid_per_level(self, rng):
+        """Per-level hybrid spec "layer+batch+batch": sa1 runs the fused
+        layer-norm path, sa2/sa3 keep reference BatchNorm (the step-time /
+        convergence compromise — PointNet2Encoder docstring)."""
+        import flax
+
+        cfg = load_args(argv=["config=[maskplanner,cuboids_v2]",
+                              "pc_points=64", "n_pred_traj_points=80",
+                              "model.norm=layer+batch+batch"])
+        m = get_model(cfg)
+        x = _pc(rng, N=64)
+        keys = {"params": jax.random.PRNGKey(0),
+                "fps": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        v = m.init(keys, x, train=True)
+        names = {"/".join(k) for k in
+                 flax.traverse_util.flatten_dict(v["params"])}
+        assert any("sa1" in n and "LayerNorm" in n for n in names)
+        assert not any("sa1" in n and "BatchNorm" in n for n in names)
+        assert any("sa2" in n and "BatchNorm" in n for n in names)
+        out, _ = m.apply(v, x, train=True, mutable=["batch_stats"],
+                         rngs=keys)
+        assert np.isfinite(np.asarray(out.traj)).all()
+
+        def loss(params):
+            o, _ = m.apply({**v, "params": params}, x, train=True,
+                           mutable=["batch_stats"], rngs=keys)
+            return jnp.sum(jnp.abs(o.traj))
+
+        g = jax.grad(loss)(v["params"])
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g))
+
     def test_encoder_norm_unknown_raises(self, rng):
         cfg = load_args(argv=["config=[maskplanner,cuboids_v2]",
                               "pc_points=64", "n_pred_traj_points=80",
