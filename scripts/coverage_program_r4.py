@@ -135,22 +135,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
                     choices=["augmfull", "augmhero", "sweep", "all",
-                             "shelvesfix"])
+                             "shelvesfix", "normhybrid"])
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "coverage_r4.jsonl"))
     ap.add_argument("--sweep_tags", nargs="*", default=None,
                     help="restrict the sweep stage to these base tags")
+    ap.add_argument("--cats", nargs="*", default=None,
+                    help="restrict the train stages to these categories")
     args = ap.parse_args()
+
+    def wanted(cat):
+        return args.cats is None or cat in args.cats
 
     if args.stage in ("augmfull", "all"):
         for cat in ("shelves-v2", "cuboids-v2", "windows-v2",
                     "containers-v2"):
+            if not wanted(cat):
+                continue
             t0 = time.time()
             s = run_category(cat, base_args())
             record(args.out, f"augmfull_{cat}", s, t0)
 
     if args.stage in ("augmhero", "all"):
         for cat in ("windows-v2", "shelves-v2", "containers-v2"):
+            if not wanted(cat):
+                continue
             t0 = time.time()
             s = run_category(cat, base_args(epochs=4800, n_train=96))
             record(args.out, f"augmhero_{cat}", s, t0)
@@ -170,6 +179,26 @@ def main():
         a.overrides = [f"start_stroke_masks_loss_at={a.epochs // 2}"]
         s = run_category("shelves-v2", a)
         record(args.out, "shelvesfix_maskstart_shelves-v2", s, t0)
+
+    if args.stage == "normhybrid":
+        # VERDICT item 5 convergence evidence: the per-level hybrid norm
+        # (fused Pallas train path at sa1/sa2, reference BatchNorm at the
+        # final levels) head-to-head vs the r3 `full_*` rows (same budget,
+        # no augmentation). Chosen spec from the hardware bench
+        # (scripts/tpu_bench_hybrid_norm.py, v5e flagship batch-64):
+        # layer+layer+batch 37.8 ms f32 / 28.4 bf16 — within noise of the
+        # all-layer fused path (37.4/28.5) while keeping BatchNorm where
+        # it is cheapest to keep; all-batch measures 46.9/32.8. norm=layer
+        # alone lost badly on shelves (docs/coverage.md); the hybrid must
+        # not.
+        for cat in ("shelves-v2", "cuboids-v2", "windows-v2",
+                    "containers-v2"):
+            if not wanted(cat):
+                continue
+            t0 = time.time()
+            s = run_category(cat, base_args(
+                augment=False, norm="layer+layer+batch"))
+            record(args.out, f"normhybrid_{cat}", s, t0)
 
     if args.stage in ("sweep", "all"):
         recs = []
