@@ -39,7 +39,7 @@ def _mm(a, b):
 
 
 def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0,
-            single_pass: bool = False):
+            single_pass: bool = False, packed_lo: bool = False):
     # xt_ref: (1, C, N) channels (rows 0..2 = xyz); qt_ref: (1, 3, TS)
     # refs: [xtb (1, C_pad*block_w, N/block_w) if block_w], out_ref
     # (1, C, K, TS), idx_ref (1, K, TS)
@@ -69,10 +69,17 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0,
     # contraction — values land bf16-rounded, which is exactly the
     # rounding a bf16 consumer applies anyway (bf16 models' MLPs cast
     # the grouped tensor to bf16), at half the extraction MXU work.
+    # ``packed_lo`` gets the same halving WITHOUT giving up the lo bits:
+    # when 2C fits the 8-sublane channel padding (sa1: C=3, c_pad=8), the
+    # caller packs the lo channels into the otherwise-zero padding rows,
+    # so the single hi contraction extracts hi AND lo and the final
+    # per-channel add rebuilds f32 — exact two-pass values at single-pass
+    # MXU cost (the block table stays one 128-row MXU tile either way).
     if block_w:
         xtb = xtb_ref[0]
-        xtb_hi = xtb.astype(jnp.bfloat16)
-        xtb_lo = (xtb - xtb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        xtb_hi = xtb.astype(jnp.bfloat16)  # exact when packed_lo
+        if not (single_pass or packed_lo):
+            xtb_lo = (xtb - xtb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         NB, R = xtb.shape[1], xtb.shape[0]
         c_pad = R // block_w
         iota_nb = jax.lax.broadcasted_iota(
@@ -86,7 +93,13 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0,
         iota_n = jax.lax.broadcasted_iota(
             jnp.int32, (N, TS), 0).astype(jnp.float32)
         xt_hi = xt.astype(jnp.bfloat16)
-        xt_lo = (xt - xt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if not single_pass:
+            # stack hi over lo so ONE contraction computes both partial
+            # products: MXU row tiles go from 2*ceil(C/128) (two passes)
+            # to ceil(2C/128) — a 2x extraction win for C <= 64 and 4->3
+            # at sa2's C=131
+            xt_lo = (xt - xt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            xt_hi = jnp.concatenate([xt_hi, xt_lo], axis=0)  # (2C, N)
 
     # Phase 1 — selection only (the masked-min chain is serial across k;
     # keeping it free of MXU work lets the gather phase's independent
@@ -116,18 +129,24 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0,
             lo = cur_eff - hi * block_w
             bohot = (iota_nb == hi[None, :]).astype(jnp.bfloat16)
             gb = _mm(xtb_hi, bohot)                               # (R, TS)
-            if not single_pass:
+            if not (single_pass or packed_lo):
                 gb = gb + _mm(xtb_lo, bohot)
             sel = jnp.where(row_mod == lo[None, :], gb, 0.0)
             g = jax.lax.dot_general(
                 seg, sel, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)[:xt.shape[0]]
+                precision=jax.lax.Precision.HIGHEST)
+            C = xt.shape[0]
+            if packed_lo:
+                g = g[:C] + g[C:2 * C]    # rebuild f32 = hi + lo rows
+            else:
+                g = g[:C]
         else:
             onehot = (iota_n == cur_eff[None, :]).astype(jnp.bfloat16)
-            g = _mm(xt_hi, onehot)                                # (C, TS)
+            g = _mm(xt_hi, onehot)                                # (·, TS)
             if not single_pass:
-                g = g + _mm(xt_lo, onehot)
+                C = xt.shape[0]
+                g = g[:C] + g[C:2 * C]    # hi/lo stacked rows
         out_ref[0, :, k, :] = g
 
 
@@ -154,13 +173,21 @@ def _ball_group_raw(radius: float, nsample: int, xt: jax.Array,
     # two-stage block gather for narrow channel counts (sa1 grouping:
     # C=3, N=5120) — full-N one-hot tiles scale with N/128 per slot
     block_w = 16 if C <= 16 else 0
+    c_pad = -(-C // 8) * 8
+    # exact-f32 extraction at single-pass cost: when the lo channels fit
+    # the 8-sublane padding (C <= 4), pack bf16(lo) into the padding rows
+    # so one contraction carries both hi and lo partial products
+    packed_lo = bool(block_w) and not single_pass and 2 * C <= c_pad
     extra_specs, extra_ops = [], []
     if block_w:
-        c_pad = -(-C // 8) * 8
         nb = npd // block_w
         xtp = xt.astype(jnp.float32)
-        if c_pad > C:
-            xtp = jnp.pad(xtp, ((0, 0), (0, c_pad - C), (0, 0)))
+        if packed_lo:
+            hi = xtp.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = (xtp - hi).astype(jnp.bfloat16).astype(jnp.float32)
+            xtp = jnp.concatenate([hi, lo], axis=1)
+        if c_pad > xtp.shape[1]:
+            xtp = jnp.pad(xtp, ((0, 0), (0, c_pad - xtp.shape[1]), (0, 0)))
         xtb = jnp.transpose(xtp.reshape(B, c_pad, nb, block_w),
                             (0, 1, 3, 2)).reshape(B, c_pad * block_w, nb)
         extra_specs.append(pl.BlockSpec((1, c_pad * block_w, nb),
@@ -170,7 +197,8 @@ def _ball_group_raw(radius: float, nsample: int, xt: jax.Array,
 
     out, idx = pl.pallas_call(
         functools.partial(_kernel, radius2=float(radius) ** 2, K=nsample,
-                          block_w=block_w, single_pass=single_pass),
+                          block_w=block_w, single_pass=single_pass,
+                          packed_lo=packed_lo),
         out_shape=(
             jax.ShapeDtypeStruct((B, C, nsample, S + pads), jnp.float32),
             jax.ShapeDtypeStruct((B, nsample, S + pads), jnp.int32),

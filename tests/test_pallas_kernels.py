@@ -126,6 +126,53 @@ class TestFusedGroupGather:
                                    np.asarray(grouped[..., 3:]),
                                    rtol=1e-4, atol=3e-5)
 
+    def test_packed_lo_xyz_only_exact(self, rng):
+        """C=3 (sa1 eval/train: no features) routes through the packed-lo
+        block gather: lo channels ride the 8-sublane padding rows, so the
+        single contraction is hi/lo-exact (~1e-5 rel, the two-pass class)
+        at single-pass MXU cost."""
+        from maskplanner_tpu.ops.pallas.group_gather import ball_group_pallas
+        from maskplanner_tpu.ops.sampling import query_ball_point, index_points
+
+        B, N, S, K = 2, 384, 64, 8
+        xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        q = xyz[:, :S]
+        ref_idx = query_ball_point(0.5, K, xyz, q)
+        ref_rel = index_points(xyz, ref_idx) - q[:, :, None, :]
+        grouped, idx = ball_group_pallas(0.5, K, xyz, q)
+        np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(idx))
+        np.testing.assert_allclose(np.asarray(ref_rel), np.asarray(grouped),
+                                   rtol=1e-4, atol=3e-5)
+        # single_pass must stay meaningfully coarser (bf16-rounded): the
+        # packed path really is carrying the lo correction
+        sp, _ = ball_group_pallas(0.5, K, xyz, q, single_pass=True)
+        abs_pack = np.abs(np.asarray(grouped) - np.asarray(ref_rel)).max()
+        abs_sp = np.abs(np.asarray(sp) - np.asarray(ref_rel)).max()
+        assert abs_pack < abs_sp
+
+    def test_wide_table_stacked_hilo_exact(self, rng):
+        """C>16 (feature-bearing levels) uses the full-N one-hot path with
+        hi and lo stacked into ONE contraction; values stay in the
+        two-pass accuracy class."""
+        from maskplanner_tpu.ops.pallas.group_gather import ball_group_pallas
+        from maskplanner_tpu.ops.sampling import query_ball_point, index_points
+
+        B, N, S, K, F = 2, 256, 32, 4, 29   # C = 3 + 29 = 32 > 16
+        xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        q = xyz[:, :S]
+        feat = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+        ref_idx = query_ball_point(0.5, K, xyz, q)
+        ref_rel = index_points(xyz, ref_idx) - q[:, :, None, :]
+        ref_f = index_points(feat, ref_idx)
+        grouped, idx = ball_group_pallas(0.5, K, xyz, q, feat)
+        np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(idx))
+        np.testing.assert_allclose(np.asarray(ref_rel),
+                                   np.asarray(grouped[..., :3]),
+                                   rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(ref_f),
+                                   np.asarray(grouped[..., 3:]),
+                                   rtol=1e-4, atol=3e-5)
+
     def test_gradients_match_take_path(self, rng):
         import jax
         from maskplanner_tpu.ops.pallas.group_gather import ball_group_pallas
