@@ -179,14 +179,22 @@ class _Gather:
     subtraction) keep the hi/lo f32 reconstruction."""
 
     def __init__(self, xt, xtb_ref, q, block_w: int, cp: int,
-                 single: bool = False):
+                 single: bool = False, packed_c: int = 0):
         self.block_w = block_w
         self.q = q
         self.cp = cp
         self.single = single
+        self.packed_c = packed_c
         if block_w:
             xtb = xtb_ref[0]
-            self.xtb_hi, self.xtb_lo = _hi_lo(xtb)
+            if packed_c:
+                # xtb rows already hold [hi(:C); bf16(lo)(C:2C); 0] — all
+                # bf16-representable, so the cast is exact and ONE
+                # contraction carries both partial products (see
+                # group_gather.py packed_lo)
+                self.xtb_hi = xtb.astype(jnp.bfloat16)
+            else:
+                self.xtb_hi, self.xtb_lo = _hi_lo(xtb)
             self.NB = xtb.shape[1]
             self.R = xtb.shape[0]
             TS = q.shape[1]
@@ -196,7 +204,14 @@ class _Gather:
                 jnp.int32, (self.R, TS), 0) % block_w).astype(jnp.float32)
             seg_r = jax.lax.broadcasted_iota(jnp.int32, (cp, self.R), 1)
             seg_c = jax.lax.broadcasted_iota(jnp.int32, (cp, self.R), 0)
-            self.seg = (seg_r // block_w == seg_c).astype(jnp.float32)
+            seg = seg_r // block_w == seg_c
+            if packed_c:
+                # channel c also collapses its lo row-block c + C; the
+                # backward transpose puts real dg into the lo blocks, whose
+                # scatter lands in padded channels the wrapper drops
+                seg = seg | ((seg_c < packed_c)
+                             & (seg_r // block_w == seg_c + packed_c))
+            self.seg = seg.astype(jnp.float32)
         else:
             self.N = xt.shape[1]
             self.split = single and cp > 8  # hi/lo xyz rows + single rest
@@ -227,11 +242,20 @@ class _Gather:
     def gather(self, onehot, aux, cols: int):
         """(Cin_pad, cols*TS) chunk with query-relative xyz rows."""
         if self.block_w:
-            gb = (_mm(self.xtb_hi, onehot, "default")
-                  + _mm(self.xtb_lo, onehot, "default"))
+            gb = _mm(self.xtb_hi, onehot, "default")
+            if not self.packed_c:
+                gb = gb + _mm(self.xtb_lo, onehot, "default")
             sel = jnp.where(aux, gb, 0.0)
-            # seg is 0/1 (bf16-exact); sel needs hi/lo to keep f32 values
-            g = _mm(self.seg, sel, "default" if self.single else "high")
+            if self.packed_c:
+                # packed: sel rows are single one-hot-selected bf16 values
+                # (exact in bf16), so the collapsing seg contraction is
+                # exact at ONE bf16 pass — and it also performs the hi+lo
+                # f32 rebuild via the packed seg rows
+                g = _mm(self.seg, sel, "default")
+            else:
+                # seg is 0/1 (bf16-exact); sel needs hi/lo for f32 values
+                g = _mm(self.seg, sel,
+                        "default" if self.single else "high")
         elif self.split:
             g_xyz = (_mm(self.xt_hi, onehot, "default")
                      + _mm(self.xt_lo, onehot, "default"))
@@ -267,7 +291,7 @@ class _Gather:
 
 def _fwd_kernel(xt_ref, qt_ref, *refs, radius2: float, K: int,
                 n_layers: int, norm: str, block_w: int, prec,
-                chunk_cols: int):
+                chunk_cols: int, packed_c: int = 0):
     """Grid (B, S/TS). Outputs pooled (1, C_last, TS) and the selected
     neighbour indices (1, K_pad, TS) (f32)."""
     # refs: [xtb] + weights... + out_ref, idx_ref
@@ -290,7 +314,7 @@ def _fwd_kernel(xt_ref, qt_ref, *refs, radius2: float, K: int,
     _select_neighbours(q, xt, radius2, K, TS, N, idx_ref)
 
     gat = _Gather(xt, xtb_ref, q, block_w, xt.shape[0],
-                  single=prec == "default")
+                  single=prec == "default", packed_c=packed_c)
     kc = max(1, min(K, chunk_cols // TS))
     c_last = wrefs[-1]["w"].shape[0]
 
@@ -319,7 +343,7 @@ def _fwd_kernel(xt_ref, qt_ref, *refs, radius2: float, K: int,
 
 def _bwd_kernel(xt_ref, qt_ref, idx_ref, pooled_ref, dout_ref, *refs,
                 K: int, n_layers: int, norm: str, block_w: int, prec,
-                chunk_cols: int):
+                chunk_cols: int, packed_c: int = 0):
     """Grid (B, S/TS). Recompute + backprop one tile; accumulate weight
     grads across the whole (sequential) grid and source grads across the
     tile dimension."""
@@ -362,7 +386,7 @@ def _bwd_kernel(xt_ref, qt_ref, idx_ref, pooled_ref, dout_ref, *refs,
     avail_ref[...] = jnp.ones_like(avail_ref)
 
     gat = _Gather(xt, xtb_ref, q, block_w, xt.shape[0],
-                  single=prec == "default")
+                  single=prec == "default", packed_c=packed_c)
     kc = max(1, min(K, chunk_cols // TS))
 
     def process(k0, cols, carry):
@@ -449,14 +473,26 @@ def _prep(radius, nsample, xt, qt, tile_s):
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pads)))
     cp, npd, sp = Cin + padc, N + padn, S + pads
     block_w = 16 if cp <= 16 else 0
+    # pack bf16(lo) into the channel-padding rows when they fit (sa1:
+    # Cin=3, cp=8): halves the block-gather contractions at identical
+    # accuracy (see group_gather.py packed_lo)
+    packed_c = Cin if (block_w and 2 * Cin <= cp) else 0
     ops = dict(xt=xt.astype(jnp.float32), qt=qt.astype(jnp.float32))
     if block_w:
         nb = npd // block_w
+        src = ops["xt"]
+        if packed_c:
+            base = src[:, :Cin]
+            hi = base.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = (base - hi).astype(jnp.bfloat16).astype(jnp.float32)
+            src = jnp.concatenate(
+                [hi, lo, jnp.zeros((B, cp - 2 * Cin, npd), jnp.float32)],
+                axis=1)
         ops["xtb"] = jnp.transpose(
-            ops["xt"].reshape(B, cp, nb, block_w),
+            src.reshape(B, cp, nb, block_w),
             (0, 1, 3, 2)).reshape(B, cp * block_w, nb)
     return ops, dict(B=B, Cin=Cin, cp=cp, npd=npd, S=S, sp=sp,
-                     block_w=block_w, padc=padc)
+                     block_w=block_w, padc=padc, packed_c=packed_c)
 
 
 def _flatten_params(params, cp, norm):
@@ -532,7 +568,7 @@ def _fsa_train_fwd_raw(radius, nsample, norm, xt, qt, params,
         functools.partial(_fwd_kernel, radius2=float(radius) ** 2, K=K,
                           n_layers=len(params), norm=norm,
                           block_w=d["block_w"], prec=precision,
-                          chunk_cols=chunk_cols),
+                          chunk_cols=chunk_cols, packed_c=d["packed_c"]),
         out_shape=(jax.ShapeDtypeStruct((d["B"], c_last, d["sp"]),
                                         jnp.float32),
                    jax.ShapeDtypeStruct((d["B"], kp, d["sp"]), jnp.float32)),
@@ -611,7 +647,7 @@ def _fsa_train_bwd_raw(radius, nsample, norm, xt, qt, idx, pooled, d_out,
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, K=K, n_layers=len(params), norm=norm,
                           block_w=d["block_w"], prec=precision,
-                          chunk_cols=chunk_cols),
+                          chunk_cols=chunk_cols, packed_c=d["packed_c"]),
         out_shape=tuple(out_shapes),
         grid=(d["B"], d["sp"] // tile_s),
         in_specs=in_specs,
