@@ -132,10 +132,16 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0,
             if not (single_pass or packed_lo):
                 gb = gb + _mm(xtb_lo, bohot)
             sel = jnp.where(row_mod == lo[None, :], gb, 0.0)
+            # packed_lo/single_pass: sel rows are single one-hot-selected
+            # bf16 values (exact in bf16), so the 0/1 seg contraction is
+            # exact at ONE bf16 pass; the two-pass case accumulates f32
+            # sums in sel and needs the 6-pass f32 contraction
+            seg_prec = (jax.lax.Precision.DEFAULT
+                        if (packed_lo or single_pass)
+                        else jax.lax.Precision.HIGHEST)
             g = jax.lax.dot_general(
                 seg, sel, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                preferred_element_type=jnp.float32, precision=seg_prec)
             C = xt.shape[0]
             if packed_lo:
                 g = g[:C] + g[C:2 * C]    # rebuild f32 = hi + lo rows
