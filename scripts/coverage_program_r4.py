@@ -135,7 +135,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
                     choices=["augmfull", "augmhero", "sweep", "all",
-                             "shelvesfix", "normhybrid"])
+                             "shelvesfix", "normhybrid", "scalehero"])
+    ap.add_argument("--n_train", type=int, default=192,
+                    help="scalehero train-set size")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "coverage_r4.jsonl"))
     ap.add_argument("--sweep_tags", nargs="*", default=None,
@@ -199,6 +201,23 @@ def main():
             s = run_category(cat, base_args(
                 augment=False, norm="layer+layer+batch"))
             record(args.out, f"normhybrid_{cat}", s, t0)
+
+    if args.stage == "scalehero":
+        # Coverage tracks held-out regression accuracy (diagnosis on the
+        # augmhero_windows dumps: uncovered faces are diffuse, all receive
+        # paint, mean thickness 32% under threshold — fine positional
+        # error, flux ~ 1/d^2, not missing strokes or bad orientations).
+        # The strongest measured lever is train-set size (+6 pts from
+        # 48->96 at 1200 ep). Epoch-as-one-dispatch makes the data axis
+        # cheap on TPU: n=192 at the hero budget is ~20 min/category.
+        for cat in ("cuboids-v2", "windows-v2", "shelves-v2",
+                    "containers-v2"):
+            if not wanted(cat):
+                continue
+            t0 = time.time()
+            s = run_category(cat, base_args(
+                epochs=4800, n_train=args.n_train))
+            record(args.out, f"scalehero{args.n_train}_{cat}", s, t0)
 
     if args.stage in ("sweep", "all"):
         recs = []
