@@ -88,7 +88,15 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0,
                    % block_w).astype(jnp.float32)
         seg_r = jax.lax.broadcasted_iota(jnp.int32, (c_pad, R), 1)
         seg_c = jax.lax.broadcasted_iota(jnp.int32, (c_pad, R), 0)
-        seg = (seg_r // block_w == seg_c).astype(jnp.float32)
+        seg_m = seg_r // block_w == seg_c
+        if packed_lo:
+            # channel c also collapses its lo row-block c + C: the seg
+            # contraction itself performs the hi + lo f32 rebuild (no
+            # sublane-offset slicing, which Mosaic restricts)
+            C0 = xt.shape[0]
+            seg_m = seg_m | ((seg_c < C0)
+                             & (seg_r // block_w == seg_c + C0))
+        seg = seg_m.astype(jnp.float32)
     else:
         iota_n = jax.lax.broadcasted_iota(
             jnp.int32, (N, TS), 0).astype(jnp.float32)
@@ -97,9 +105,17 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0,
             # stack hi over lo so ONE contraction computes both partial
             # products: MXU row tiles go from 2*ceil(C/128) (two passes)
             # to ceil(2C/128) — a 2x extraction win for C <= 64 and 4->3
-            # at sa2's C=131
+            # at sa2's C=131. The hi+lo rebuild is a constant 0/1 combine
+            # matmul (exact at one bf16 pass: every gathered element is a
+            # single one-hot-selected bf16 value), avoiding
+            # sublane-offset slices Mosaic restricts.
+            C0 = xt.shape[0]
             xt_lo = (xt - xt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             xt_hi = jnp.concatenate([xt_hi, xt_lo], axis=0)  # (2C, N)
+            comb_r = jax.lax.broadcasted_iota(jnp.int32, (C0, 2 * C0), 1)
+            comb_c = jax.lax.broadcasted_iota(jnp.int32, (C0, 2 * C0), 0)
+            comb = ((comb_r == comb_c)
+                    | (comb_r == comb_c + C0)).astype(jnp.float32)
 
     # Phase 1 — selection only (the masked-min chain is serial across k;
     # keeping it free of MXU work lets the gather phase's independent
@@ -141,18 +157,16 @@ def _kernel(xt_ref, qt_ref, *refs, radius2: float, K: int, block_w: int = 0,
                         else jax.lax.Precision.HIGHEST)
             g = jax.lax.dot_general(
                 seg, sel, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=seg_prec)
-            C = xt.shape[0]
-            if packed_lo:
-                g = g[:C] + g[C:2 * C]    # rebuild f32 = hi + lo rows
-            else:
-                g = g[:C]
+                preferred_element_type=jnp.float32,
+                precision=seg_prec)[:xt.shape[0]]
         else:
             onehot = (iota_n == cur_eff[None, :]).astype(jnp.bfloat16)
             g = _mm(xt_hi, onehot)                                # (·, TS)
             if not single_pass:
-                C = xt.shape[0]
-                g = g[:C] + g[C:2 * C]    # hi/lo stacked rows
+                g = jax.lax.dot_general(
+                    comb, g, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
         out_ref[0, :, k, :] = g
 
 
