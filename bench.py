@@ -53,6 +53,75 @@ def _cost_analysis(jitted, *args):
         return None, None
 
 
+def _assert_uncontended():
+    """Fail loudly if another compute process is live on this host.
+
+    BENCH_r04 was captured while a background coverage job trained on the
+    same chip/host and its numbers contradicted the committed record by
+    31% (VERDICT r4 item 4). There is exactly one CPU core here and one
+    tunneled TPU chip, so ANY other busy python/sim process invalidates
+    the measurement. Detection: sample /proc twice and flag any other
+    process burning >10% of a core over the window, plus any other
+    python process at all. Override with MASKPLANNER_BENCH_FORCE=1
+    (records "contended": true instead of aborting).
+    """
+    import re
+
+    def ancestors():
+        out, pid = set(), os.getpid()
+        while pid > 1:
+            out.add(pid)
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    pid = int(fh.read().rsplit(")", 1)[1].split()[1])
+            except (OSError, ValueError):
+                break
+        return out
+
+    own = ancestors()
+
+    def cpu_samples():
+        out = {}
+        for pid_dir in os.listdir("/proc"):
+            if not pid_dir.isdigit() or int(pid_dir) in own:
+                continue
+            try:
+                with open(f"/proc/{pid_dir}/stat") as fh:
+                    parts = fh.read().rsplit(")", 1)[1].split()
+                with open(f"/proc/{pid_dir}/cmdline") as fh:
+                    cmd = fh.read().replace("\0", " ").strip()
+            except OSError:
+                continue
+            out[int(pid_dir)] = (float(parts[11]) + float(parts[12]), cmd)
+        return out
+
+    hz = os.sysconf("SC_CLK_TCK")
+    a = cpu_samples()
+    time.sleep(0.6)
+    b = cpu_samples()
+    offenders = []
+    for pid, (t1, cmd) in b.items():
+        if pid not in a or not cmd:
+            continue
+        busy = (t1 - a[pid][0]) / hz / 0.6
+        is_py = re.search(r"python|coverage|train", cmd) and \
+            "bench.py" not in cmd
+        if busy > 0.10 or (is_py and busy > 0.02):
+            offenders.append({"pid": pid, "cpu": round(busy, 2),
+                              "cmd": cmd[:120]})
+    if offenders and not os.environ.get("MASKPLANNER_BENCH_FORCE"):
+        print(json.dumps({
+            "metric": "inference_pointclouds_per_sec_per_chip",
+            "value": 0.0, "unit": "pointclouds/s", "vs_baseline": 0.0,
+            "error": "host/chip contended — refusing to record a "
+                     "measurement taken next to live compute "
+                     "(set MASKPLANNER_BENCH_FORCE=1 to override)",
+            "offenders": offenders,
+        }))
+        raise SystemExit(1)
+    return offenders
+
+
 def _require_backend(timeout_s: float = 600.0):
     """Fail fast (honestly) if the axon TPU tunnel is wedged.
 
@@ -92,6 +161,7 @@ def main():
 
     from maskplanner_tpu.utils.args import load_args
 
+    contended = _assert_uncontended()
     _require_backend()
     from maskplanner_tpu.data.dataset import PaintDataset, DataLoader
     from maskplanner_tpu.losses import LossHandler
@@ -127,7 +197,10 @@ def main():
     # whose steps are data-chained is trustworthy) ----------------------
     import jax.numpy as jnp
 
-    def time_train_steps(step_fn, st0, k=10):
+    def time_train_steps(step_fn, st0, k=10, reps=4):
+        """Median-of-reps ms/step with spread (VERDICT r4 item 4: a
+        single number cannot distinguish a real change from tunnel
+        noise; tunnel hiccups add seconds on individual fetches)."""
         def body(i, carry):
             st, _ = carry
             b = dict(device_batch)
@@ -142,16 +215,19 @@ def main():
             return jax.lax.fori_loop(0, k, body, (st, jnp.float32(0.0)))
 
         st, l = run(st0)
-        base = float(l)  # forces full execution (compile + warm-up)
-        best, final = float("inf"), base
-        for _ in range(2):  # min of 2: tunnel hiccups add seconds of noise
+        final = float(l)  # forces full execution (compile + warm-up)
+        samples = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             st, l = run(st0)
             final = float(l)
-            best = min(best, (time.perf_counter() - t0) / k * 1000)
-        return best, final
+            samples.append((time.perf_counter() - t0) / k * 1000)
+        return {"median": float(np.median(samples)),
+                "min": float(np.min(samples)),
+                "max": float(np.max(samples))}, final
 
-    step_ms, final_loss = time_train_steps(train_step, state)
+    step_stats, final_loss = time_train_steps(train_step, state)
+    step_ms = step_stats["median"]
     loss = final_loss
 
     # ---- roofline accounting: measured time vs XLA's cost model for the
@@ -174,13 +250,14 @@ def main():
 
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "scripts"))
-    from tpu_bench_ops import loop_bench
+    from tpu_bench_ops import loop_bench, loop_bench_stats
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     pc = device_batch["point_cloud"]
-    infer_s = loop_bench(
-        lambda a: model.apply(variables, a, train=False).traj, pc, iters=10)
-    pcs_per_sec = batch_size / infer_s
+    infer_stats = loop_bench_stats(
+        lambda a: model.apply(variables, a, train=False).traj, pc,
+        iters=10, reps=4)
+    pcs_per_sec = batch_size / infer_stats["median"]
 
     # ---- bf16 training step (config=[...,bf16]: bfloat16 compute,
     # f32 params/BN/loss; convergence-parity-validated by
@@ -193,16 +270,17 @@ def main():
                                  batch["point_cloud"][:1], steps_per_epoch=1)
     state16 = replicate(state16, mesh)
     train_step16 = make_train_step(model16, handler, config16)
-    step16_ms, _ = time_train_steps(train_step16, state16)
+    step16_stats, _ = time_train_steps(train_step16, state16)
+    step16_ms = step16_stats["median"]
 
     # bf16 inference throughput (same loop-bench; halves the HBM traffic
     # of the bandwidth-bound grouped MLPs)
     variables16 = {"params": state16.params,
                    "batch_stats": state16.batch_stats}
-    infer16_s = loop_bench(
+    infer16_stats = loop_bench_stats(
         lambda a: model16.apply(variables16, a, train=False).traj, pc,
-        iters=10)
-    pcs_per_sec16 = batch_size / infer16_s
+        iters=10, reps=4)
+    pcs_per_sec16 = batch_size / infer16_stats["median"]
 
     # ---- fused training path (model.norm=layer: the TPU-recommended
     # encoder norm — the whole SA level runs as one Pallas kernel with a
@@ -216,12 +294,13 @@ def main():
                                 steps_per_epoch=1)
         st = replicate(st, mesh)
         ts = make_train_step(m, handler, cfg)
-        ms, _ = time_train_steps(ts, st)
-        return ms
+        stats, _ = time_train_steps(ts, st)
+        return stats
 
-    fused_ms = fused_step_ms(["config=[maskplanner,windows_v2,longx_v2]"])
-    fused16_ms = fused_step_ms(
+    fused_stats = fused_step_ms(["config=[maskplanner,windows_v2,longx_v2]"])
+    fused16_stats = fused_step_ms(
         ["config=[maskplanner,windows_v2,longx_v2,bf16]"])
+    fused_ms, fused16_ms = fused_stats["median"], fused16_stats["median"]
 
     # ---- postprocessed inference pipeline at flagship shape: mask ->
     # stroke ids -> greedy filter -> Edmonds concat -> resample/smooth
@@ -248,9 +327,10 @@ def main():
     # FPS metric, test_maskplanner.py:253-257, measured without host
     # dispatch overhead — the tunneled backend makes dispatch timing
     # meaningless here)
-    latency_ms = loop_bench(
+    latency_stats = loop_bench_stats(
         lambda a: model.apply(variables, a, train=False).traj,
-        pc[:1], iters=20) * 1000
+        pc[:1], iters=20, reps=4)
+    latency_ms = latency_stats["median"] * 1000
 
     # ---- serving artifact (AOT StableHLO, serve.Predictor.export_compiled
     # contract): the independently optimized serialized program, measured
@@ -264,9 +344,48 @@ def main():
         exported = jexport.deserialize(jexport.export(fn)(spec).serialize())
         return exported.call
 
-    serve1_ms = loop_bench(export_call(1), pc[:1], iters=20) * 1000
-    serveN_s = loop_bench(export_call(batch_size), pc, iters=10)
-    serve_pcs_per_sec = batch_size / serveN_s
+    serve1_ms = loop_bench_stats(
+        export_call(1), pc[:1], iters=20, reps=3)["median"] * 1000
+    serveN_stats = loop_bench_stats(export_call(batch_size), pc,
+                                    iters=10, reps=3)
+    serve_pcs_per_sec = batch_size / serveN_stats["median"]
+
+    # ---- end-to-end training health (VERDICT r4 item 8): one
+    # debug-budget run through the REAL driver (fixture category on disk,
+    # npz cache, scan-epoch training, eval, checkpoint) on this chip —
+    # driver-visible proof each round that training itself works, not
+    # just the suite. Mirrors the reference's debug smoke contract
+    # (reference README.md:97-111, configs/maskplanner/debug.yaml).
+    import tempfile
+
+    import train_maskplanner
+    from maskplanner_tpu.data.fixture_category import write_category
+
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory(prefix="bench_e2e_") as tmp:
+        root = os.path.join(tmp, "paintnet")
+        write_category(root, "cuboids-v2", n_train=8, n_test=2, seed=7,
+                       deterministic=True)
+        os.environ["PAINTNET_ROOT"] = root
+        try:
+            e2e_cfg = load_args(argv=[
+                "config=[maskplanner,cuboids_v2,longx_v2,debug]",
+                "dataset=cuboids-v2", "pc_points=1024", "traj_points=512",
+                "n_pred_traj_points=256", "max_n_strokes=12",
+                "traj_with_equally_spaced_points=false",
+                "data_scale_factor=800.0", "batch_size=2", "epochs=20",
+                "eval_freq=10", "no_save=false", "skip_rendering=true",
+                f"output_dir={tmp}", "seed=7",
+            ])
+            e2e_run_dir, _ = train_maskplanner.main(e2e_cfg)
+            with open(os.path.join(e2e_run_dir, "logs.jsonl")) as fh:
+                e2e_losses = [json.loads(l).get("train_loss") for l in fh
+                              if "train_loss" in l]
+        finally:
+            os.environ.pop("PAINTNET_ROOT", None)
+    train_e2e_s = time.perf_counter() - t0
+    assert e2e_losses and all(np.isfinite(v) for v in e2e_losses)
+    e2e_improved = float(e2e_losses[-1]) < float(e2e_losses[0])
 
     print(json.dumps({
         "metric": "inference_pointclouds_per_sec_per_chip",
@@ -286,6 +405,27 @@ def main():
         "mfu": round(mfu, 4) if mfu else None,
         "hbm_bw_util": round(hbm_util, 4) if hbm_util else None,
         "final_train_loss": round(float(loss), 4),
+        "train_e2e_seconds": round(train_e2e_s, 1),
+        "train_e2e_loss_first_last": [round(float(e2e_losses[0]), 4),
+                                      round(float(e2e_losses[-1]), 4)],
+        "train_e2e_improved": bool(e2e_improved),
+        "spread": {
+            "inference_pcs_min_max": [
+                round(batch_size / infer_stats["max"], 1),
+                round(batch_size / infer_stats["min"], 1)],
+            "inference_pcs_bf16_min_max": [
+                round(batch_size / infer16_stats["max"], 1),
+                round(batch_size / infer16_stats["min"], 1)],
+            "train_step_ms_min_max": [round(step_stats["min"], 2),
+                                      round(step_stats["max"], 2)],
+            "train_step_ms_bf16_min_max": [round(step16_stats["min"], 2),
+                                           round(step16_stats["max"], 2)],
+            "train_step_ms_fused_min_max": [round(fused_stats["min"], 2),
+                                            round(fused_stats["max"], 2)],
+            "latency_ms_min_max": [round(latency_stats["min"] * 1e3, 2),
+                                   round(latency_stats["max"] * 1e3, 2)],
+        },
+        "contended": contended or False,
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),
     }))

@@ -19,11 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def loop_bench(fn, x, iters=20, reduce_out=None):
-    """fn: Array -> pytree. Returns seconds per iteration."""
-    if reduce_out is None:
-        reduce_out = lambda out: sum(
-            jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out))
+def loop_bench_stats(fn, x, iters=20, reps=1):
+    """Like loop_bench but with ``reps`` timed (run, null) pairs after a
+    single compile+warm-up. Returns a dict with per-rep seconds/iter and
+    the median — the repetition/spread record VERDICT r4 item 4 requires
+    (single numbers through the tunnel cannot distinguish a real change
+    from tunnel noise)."""
+    reduce_out = lambda out: sum(
+        jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out))
 
     @jax.jit
     def run(x0):
@@ -45,13 +48,24 @@ def loop_bench(fn, x, iters=20, reduce_out=None):
 
     float(run(x))  # compile + execute once
     float(null(x))
-    t0 = time.perf_counter()
-    float(run(x))
-    t_run = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(null(x))
-    t_null = time.perf_counter() - t0
-    return max(t_run - t_null, 0.0) / iters
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(x))
+        t_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(null(x))
+        t_null = time.perf_counter() - t0
+        samples.append(max(t_run - t_null, 0.0) / iters)
+    return {"median": float(np.median(samples)),
+            "min": float(np.min(samples)), "max": float(np.max(samples)),
+            "samples": samples}
+
+
+def loop_bench(fn, x, iters=20, reduce_out=None):
+    """fn: Array -> pytree. Returns seconds per iteration."""
+    assert reduce_out is None, "custom reduce_out no longer used"
+    return loop_bench_stats(fn, x, iters=iters, reps=1)["median"]
 
 
 def main():
