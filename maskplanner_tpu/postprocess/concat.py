@@ -37,6 +37,18 @@ def concat_segments_of_stroke(traj: np.ndarray, stroke_ids, config,
                               verbose: int = 0) -> np.ndarray:
     """Order the segments of one stroke; returns the reordered subset
     (segments off the main path are dropped, like the reference)."""
+    return traj[order_path_indices(traj, config, verbose=verbose)].copy()
+
+
+def order_path_indices(traj: np.ndarray, config,
+                       verbose: int = 0) -> np.ndarray:
+    """Indices of the stroke's segments along the Edmonds longest path.
+
+    The reference (utils/cluster.py:83-89) executes only this path —
+    segments off it are silently dropped. Exposing the indices lets the
+    caller recover the leftovers (``segments.split_offpath_strokes``):
+    round-5 root-causing showed the dropped segments are the dominant
+    cause of every category's coverage floor (docs/floor_rootcause.md)."""
     import networkx as nx
 
     from ..data.pointcloud import get_dim_traj_points
@@ -45,7 +57,7 @@ def concat_segments_of_stroke(traj: np.ndarray, stroke_ids, config,
     assert traj.shape[1] == outdim * config["lambda_points"]
     n = traj.shape[0]
     if n == 1:
-        return traj.copy()
+        return np.zeros(1, dtype=np.int64)
     k = min(n, KNN)
 
     # native fast path: endpoint features + kNN digraph + C++
@@ -58,7 +70,7 @@ def concat_segments_of_stroke(traj: np.ndarray, stroke_ids, config,
     if path is not None:
         if verbose and len(path) != n:
             print(f"stroke concat dropped {n - len(path)}/{n} segments")
-        return traj[path].copy()
+        return np.asarray(path, dtype=np.int64)
 
     starts, ends = _endpoint_features(np.asarray(traj, np.float64), outdim)
     d2 = ((ends[:, None, :] - starts[None, :, :]) ** 2).sum(-1)  # end_i -> start_j
@@ -75,7 +87,7 @@ def concat_segments_of_stroke(traj: np.ndarray, stroke_ids, config,
         if path:
             if verbose and len(path) != n:
                 print(f"stroke concat dropped {n - len(path)}/{n} segments")
-            return traj[path].copy()
+            return np.asarray(path, dtype=np.int64)
 
     from networkx.algorithms.tree import branchings
 
@@ -97,4 +109,4 @@ def concat_segments_of_stroke(traj: np.ndarray, stroke_ids, config,
     path = nx.dag_longest_path(arb)
     if verbose and len(path) != n:
         print(f"stroke concat dropped {n - len(path)}/{n} segments")
-    return traj[list(path)].copy()
+    return np.asarray(list(path), dtype=np.int64)

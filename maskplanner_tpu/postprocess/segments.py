@@ -165,17 +165,56 @@ def apply_filter_to_each_dim(signal, kind="gaussian", **kwargs):
     raise ValueError(kind)
 
 
+def split_offpath_strokes(rows: np.ndarray, ids: np.ndarray, config):
+    """Re-id a stroke's off-path segments as new sub-strokes until every
+    stroke is a complete Edmonds path (round-5 coverage fix).
+
+    The reference's concat executes only the longest path of each
+    stroke's segment arborescence and silently DROPS the rest
+    (utils/cluster.py:83-89). Root-causing the per-category coverage
+    floors (docs/floor_rootcause.md) showed those dropped segments are
+    the dominant failure: floor items score 94-100% from the raw export
+    but 73-89% postprocessed, with the loss isolated to the concat stage.
+    This pass keeps the reference's ordering while painting ALL predicted
+    segments: leftovers become fresh stroke ids and are re-ordered
+    recursively (each leftover group is strictly smaller — terminates).
+    """
+    from .concat import order_path_indices
+
+    ids = np.asarray(ids, np.int64).copy()
+    next_id = int(ids.max()) + 1 if (ids >= 0).any() else 0
+    work = [int(s) for s in np.unique(ids) if s >= 0]
+    while work:
+        sid = work.pop()
+        sel = np.where((ids == sid) & ~np.all(rows == -100.0, -1))[0]
+        if sel.size <= 1:
+            continue
+        path = order_path_indices(np.asarray(rows[sel], np.float64), config)
+        if len(path) < sel.size:
+            leftovers = np.setdiff1d(sel, sel[path])
+            ids[leftovers] = next_id
+            work.append(next_id)
+            next_id += 1
+    return ids
+
+
 def process_stroke_segments(traj, stroke_ids, config,
                             skip_segments_filtering=False,
                             segments_filtering_only=False,
                             no_interpolation=False,
                             fast_concat=False,
+                            cover_all=False,
                             verbose=0):
     """Full postprocess (reference utils/postprocessing.py:155-324).
 
     traj: (B, S, λ·outdim) predicted segments; stroke_ids: (B, S) from the
     mask postprocess. Returns (list of (N_b, outdim) trajectories, list of
     (N_b,) stroke ids) per batch element.
+
+    ``cover_all=True`` splits each stroke's off-Edmonds-path segments
+    into sub-strokes instead of dropping them (``split_offpath_strokes``)
+    — the round-5 coverage fix; False preserves the reference's
+    drop-off-path behavior (utils/cluster.py:83-89) for parity.
     """
     outdim = get_dim_traj_points(config["extra_data"])
     if not skip_segments_filtering:
@@ -183,6 +222,11 @@ def process_stroke_segments(traj, stroke_ids, config,
             np.asarray(traj), np.asarray(stroke_ids))
     if segments_filtering_only:
         return traj, stroke_ids
+    if cover_all:
+        traj = np.asarray(traj)
+        stroke_ids = np.stack([
+            split_offpath_strokes(traj[b], np.asarray(stroke_ids)[b], config)
+            for b in range(traj.shape[0])])
 
     esd = config.get("equal_spaced_points_distance") or 0.05
     out_trajs, out_ids = [], []

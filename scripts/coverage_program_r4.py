@@ -93,10 +93,11 @@ def sweep_thresholds(rec: dict, thresholds=(0.1, 0.3, 0.6)) -> list:
         t0 = time.time()
         progs = os.path.join(tmp, f"programs_thr{thr}")
         old_argv = sys.argv
-        sys.argv = ["from_pred_to_offline_v2.py", "--run", run_dir,
-                    "--output_dir", progs, "--model", "last",
-                    "--split", rec["split"], "--postprocess",
-                    "--confidence_threshold", str(thr)]
+        sys.argv = (["from_pred_to_offline_v2.py", "--run", run_dir,
+                     "--output_dir", progs, "--model", "last",
+                     "--split", rec["split"], "--postprocess",
+                     "--confidence_threshold", str(thr)]
+                    + (["--cover_all"] if rec.get("cover_all") else []))
         try:
             export_tool.main()
         finally:

@@ -97,7 +97,9 @@ def run_category(category: str, args) -> dict:
         sys.argv = (["from_pred_to_offline_v2.py", "--run", run_dir,
                      "--output_dir", progs, "--model", "last",
                      "--split", args.split]
-                    + (["--postprocess"] if args.postprocess else []))
+                    + (["--postprocess"] if args.postprocess else [])
+                    + (["--cover_all"]
+                       if getattr(args, "cover_all", False) else []))
         try:
             export_tool.main()
         finally:
@@ -134,6 +136,7 @@ def run_category(category: str, args) -> dict:
             pred_coverage_min=round(float(np.min(pred_covs)), 4),
             per_item=per_item, run_dir=run_dir,
             postprocess=bool(args.postprocess),
+            cover_all=bool(getattr(args, "cover_all", False)),
         )
         try:
             with open(os.path.join(run_dir, "summary.json")) as fh:

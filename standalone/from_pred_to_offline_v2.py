@@ -45,6 +45,11 @@ def parse_args():
     p.add_argument("--postprocess", action="store_true")
     p.add_argument("--segments_filtering_only", action="store_true")
     p.add_argument("--no_interpolation", action="store_true")
+    p.add_argument("--cover_all", action="store_true",
+                   help="split off-Edmonds-path segments into sub-strokes "
+                        "instead of dropping them (round-5 coverage fix; "
+                        "default preserves reference drop behavior, "
+                        "utils/cluster.py:83-89)")
     p.add_argument("--custom_data_scale_factor", type=float, default=None)
     p.add_argument("--confidence_threshold", type=float, default=0.5,
                    help="stroke-mask confidence filter (reference "
@@ -93,7 +98,8 @@ def main():
             trajs, out_ids = process_stroke_segments(
                 dump["traj_pred"], ids_pred, config,
                 segments_filtering_only=args.segments_filtering_only,
-                no_interpolation=args.no_interpolation)
+                no_interpolation=args.no_interpolation,
+                cover_all=args.cover_all)
             if args.segments_filtering_only:
                 pairs = [
                     _to_points(trajs[b], out_ids[b], extra_data)

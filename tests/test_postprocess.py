@@ -181,6 +181,46 @@ class TestFullPipeline:
             assert np.max(np.linalg.norm(np.diff(p, axis=0), axis=-1)) < 0.5
 
 
+class TestCoverAll:
+    """Round-5 coverage fix: off-Edmonds-path segments become sub-strokes
+    instead of being silently dropped (reference drop behavior:
+    utils/cluster.py:83-89; root cause record: docs/floor_rootcause.md)."""
+
+    def _two_disjoint_chains_one_id(self):
+        # one stroke id covering TWO disjoint chains: the Edmonds longest
+        # path can only execute one of them
+        s0 = make_stroke_segments(n_seg=10, seed=0)
+        s1 = make_stroke_segments(n_seg=10, seed=1) + 5.0  # far away
+        traj = np.concatenate([s0, s1], axis=0)[None]
+        ids = np.zeros((1, 20), dtype=int)
+        return traj, ids
+
+    def test_split_offpath_reids_leftovers(self):
+        from maskplanner_tpu.postprocess.segments import (
+            split_offpath_strokes)
+
+        traj, ids = self._two_disjoint_chains_one_id()
+        new_ids = split_offpath_strokes(traj[0], ids[0], cfg())
+        assert (new_ids >= 0).all()
+        assert len(np.unique(new_ids)) >= 2  # leftovers got fresh ids
+
+    def test_cover_all_keeps_both_chains(self):
+        from maskplanner_tpu.postprocess.segments import (
+            process_stroke_segments)
+
+        traj, ids = self._two_disjoint_chains_one_id()
+        ref_trajs, _ = process_stroke_segments(
+            traj.copy(), ids.copy(), cfg(), skip_segments_filtering=True)
+        all_trajs, _ = process_stroke_segments(
+            traj.copy(), ids.copy(), cfg(), skip_segments_filtering=True,
+            cover_all=True)
+        # reference drop behavior loses a whole chain; cover_all paints
+        # points near BOTH chains
+        far = all_trajs[0][:, :3]
+        assert (np.linalg.norm(far - far.mean(0), axis=-1) > 2.0).any()
+        assert all_trajs[0].shape[0] > 1.7 * ref_trajs[0].shape[0]
+
+
 class TestAlignment:
     def test_pred_ids_renamed_to_gt(self):
         from maskplanner_tpu.postprocess.align import (
