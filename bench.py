@@ -373,8 +373,12 @@ def main():
                 "dataset=cuboids-v2", "pc_points=1024", "traj_points=512",
                 "n_pred_traj_points=256", "max_n_strokes=12",
                 "traj_with_equally_spaced_points=false",
-                "data_scale_factor=800.0", "batch_size=2", "epochs=20",
-                "eval_freq=10", "no_save=false", "skip_rendering=true",
+                # 80 epochs instead of debug's 20: epochs are nearly free
+                # (device-resident scan) and the first ~20 epochs of the
+                # composite chamfer are non-monotone on a tiny corpus —
+                # 20 epochs cannot witness optimization health
+                "data_scale_factor=800.0", "batch_size=2", "epochs=80",
+                "eval_freq=40", "no_save=false", "skip_rendering=true",
                 f"output_dir={tmp}", "seed=7",
             ])
             e2e_run_dir, _ = train_maskplanner.main(e2e_cfg)
@@ -385,7 +389,9 @@ def main():
             os.environ.pop("PAINTNET_ROOT", None)
     train_e2e_s = time.perf_counter() - t0
     assert e2e_losses and all(np.isfinite(v) for v in e2e_losses)
-    e2e_improved = float(e2e_losses[-1]) < float(e2e_losses[0])
+    # improvement = the converged tail sits below the first epoch (robust
+    # to the per-epoch FPS/augmentation noise of a 2-sample batch)
+    e2e_improved = float(np.mean(e2e_losses[-10:])) < float(e2e_losses[0])
 
     print(json.dumps({
         "metric": "inference_pointclouds_per_sec_per_chip",

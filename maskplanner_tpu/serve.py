@@ -75,7 +75,15 @@ class Predictor:
     """
 
     def __init__(self, run_dir: str, model: str = "last",
-                 data_scale_factor: float | None = None):
+                 data_scale_factor: float | None = None,
+                 compute_dtype: str | None = None):
+        """``compute_dtype``: None keeps the run's training dtype;
+        "bf16"/"f32" overrides the forward's compute dtype (params are
+        f32 either way, so any checkpoint loads under any override).
+        bf16 is the qualified serving default of the CLI driver: the
+        clean round-5 record measures it consistently faster than f32
+        (6141 vs 5523 pc/s at batch 64, docs/bench_r5_clean.json) at
+        traj rel-err ~7e-3 (bf16 rounding class, docs/kernels.md)."""
         import jax
 
         from .models import get_model
@@ -86,6 +94,9 @@ class Predictor:
 
         self.run_dir = run_dir
         self.config = apply_retrocompat_defaults(load_config(run_dir))
+        if compute_dtype is not None:
+            assert compute_dtype in ("bf16", "f32"), compute_dtype
+            self.config["model"]["bf16"] = compute_dtype == "bf16"
         self.pc_points = int(self.config["pc_points"])
         self.extra_data = list(self.config["extra_data"])
         self.outdim = get_dim_traj_points(self.extra_data)
@@ -125,13 +136,20 @@ class Predictor:
 
     # -- one-shot pipeline ---------------------------------------------------
     def predict_program(self, mesh_file: str, postprocess: bool = True,
-                        keep_centroid: bool = True):
+                        keep_centroid: bool = True, cover_all: bool = True):
         """Mesh file -> (rows (N, 7) workspace-scale X;Y;Z;A;B;C;strokeId).
 
         Full pipeline: sample+normalize -> forward -> stroke-mask
         postprocess (mask->ids -> greedy filter -> Edmonds concat ->
         resample/smooth, reference utils/postprocessing.py:92-324) ->
         denormalize -> orientnorm->Euler.
+
+        ``cover_all`` (default True — the serving default): execute ALL
+        predicted segments by splitting off-Edmonds-path segments into
+        sub-strokes instead of silently dropping them like the reference
+        (utils/cluster.py:83-89). Measured on held-out fixtures this is
+        the difference between ~89-96% and ≥99% paint coverage
+        (docs/floor_rootcause.md). Pass False for reference parity.
         """
         from .postprocess import process_pred_stroke_masks_to_stroke_ids
         from .postprocess.segments import process_stroke_segments
@@ -145,7 +163,8 @@ class Predictor:
         ids = process_pred_stroke_masks_to_stroke_ids(
             np.asarray(out.stroke_masks), np.asarray(out.mask_scores))
         if postprocess:
-            trajs, out_ids = process_stroke_segments(traj, ids, self.config)
+            trajs, out_ids = process_stroke_segments(traj, ids, self.config,
+                                                     cover_all=cover_all)
             pts, pt_ids = np.asarray(trajs[0]), np.asarray(out_ids[0])
         else:
             rows, rid = traj[0], np.asarray(ids[0])

@@ -39,6 +39,13 @@ def parse_args():
                    help="dump raw predicted segments instead of the "
                         "concatenated/resampled strokes")
     p.add_argument("--data_scale_factor", type=float, default=None)
+    p.add_argument("--dtype", choices=["bf16", "f32", "train"],
+                   default="bf16",
+                   help="forward compute dtype. bf16 is the serving "
+                        "default (measured consistently faster: 6141 vs "
+                        "5523 pc/s at batch 64, docs/bench_r5_clean.json; "
+                        "traj rel-err ~7e-3). 'train' keeps the run's "
+                        "training dtype")
     p.add_argument("--export", default=None,
                    help="write the compiled forward as a serialized "
                         "StableHLO artifact and exit (unless --meshes)")
@@ -52,7 +59,9 @@ def parse_args():
 def main():
     args = parse_args()
     pred = Predictor(args.run, model=args.model,
-                     data_scale_factor=args.data_scale_factor)
+                     data_scale_factor=args.data_scale_factor,
+                     compute_dtype=None if args.dtype == "train"
+                     else args.dtype)
     print(f"Loaded {args.model} (epoch {pred.epoch}) | "
           f"pc_points={pred.pc_points} scale={pred.scale:.4f}")
 
