@@ -376,8 +376,13 @@ def main():
                 # 80 epochs instead of debug's 20: epochs are nearly free
                 # (device-resident scan) and the first ~20 epochs of the
                 # composite chamfer are non-monotone on a tiny corpus —
-                # 20 epochs cannot witness optimization health
-                "data_scale_factor=800.0", "batch_size=2", "epochs=80",
+                # 20 epochs cannot witness optimization health.
+                # batch 8, not debug's batch 2: measured A/B (r5) shows
+                # the BN-heavy model's loss RISES at batch 2 over 80
+                # epochs (1494->2567; 2-sample batch statistics) while
+                # batch 8 descends (1656->1112) — the health check runs
+                # at the smallest batch whose BN is meaningful
+                "data_scale_factor=800.0", "batch_size=8", "epochs=80",
                 "eval_freq=40", "no_save=false", "skip_rendering=true",
                 f"output_dir={tmp}", "seed=7",
             ])

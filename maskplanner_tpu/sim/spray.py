@@ -64,11 +64,52 @@ def _face_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
 
+def pose_arclength_weights(positions: np.ndarray,
+                           stroke_ids: np.ndarray | None,
+                           cap_factor: float = 3.0) -> np.ndarray:
+    """Per-pose dwell weights proportional to local arc length.
+
+    A constant-speed spray gun deposits paint per unit PATH LENGTH, not
+    per program waypoint — per-pose summation makes the measured
+    thickness scale with waypoint density, so a postprocess that
+    resamples/upsamples a stroke (reference utils/postprocessing.py
+    resample + Akima 5x) would inflate its own paint mass ~6x (measured,
+    docs/floor_rootcause.md round-5 integrity check). Weight = half the
+    distance to each in-stroke neighbour (trapezoidal dwell), capped at
+    ``cap_factor``x the program's median spacing so inter-pass gaps
+    inside a stroke cannot deposit a gap's worth of paint at one pose.
+    """
+    P = positions.shape[0]
+    if P == 0:
+        return np.zeros(0)
+    if stroke_ids is None:
+        stroke_ids = np.zeros(P)
+    w = np.zeros(P)
+    all_ds = []
+    for sid in np.unique(stroke_ids):
+        idx = np.where(stroke_ids == sid)[0]
+        if idx.size == 1:
+            continue
+        ds = np.linalg.norm(np.diff(positions[idx], axis=0), axis=-1)
+        all_ds.append(ds)
+        w[idx[:-1]] += 0.5 * ds
+        w[idx[1:]] += 0.5 * ds
+    if not all_ds:
+        return np.ones(P)
+    med = float(np.median(np.concatenate(all_ds)))
+    if med <= 0:
+        med = float(np.mean(np.concatenate(all_ds))) or 1.0
+    np.clip(w, None, cap_factor * med, out=w)
+    w[w == 0] = med  # isolated single-pose strokes get one median dwell
+    return w / med   # ~1 at the program's own median spacing
+
+
 def simulate_spray(points: np.ndarray, normals: np.ndarray,
                    positions: np.ndarray, dirs: np.ndarray, *,
                    sigma_deg: float = DEFAULT_SIGMA_DEG,
                    cone_deg: float = DEFAULT_CONE_DEG,
                    r0: float | None = None,
+                   pose_weights: np.ndarray | None = None,
                    chunk: int = 4096) -> np.ndarray:
     """Accumulated paint thickness at ``points`` from all gun poses.
 
@@ -81,6 +122,8 @@ def simulate_spray(points: np.ndarray, normals: np.ndarray,
     r0        : reference standoff for the inverse-square term; default =
                 median gun-to-nearest-surface-point distance, so flux ~= 1
                 at the program's own standoff
+    pose_weights : optional (P,) per-pose dwell weights (see
+                ``pose_arclength_weights``); None = 1 per pose
     chunk     : surface points per vectorized (P x chunk) block
     """
     points = np.asarray(points, np.float64)
@@ -102,6 +145,10 @@ def simulate_spray(points: np.ndarray, normals: np.ndarray,
         r0 = float(np.median(np.sqrt(d2.min(axis=1))))
         r0 = max(r0, 1e-9)
 
+    if pose_weights is not None:
+        pose_weights = np.asarray(pose_weights, np.float64)
+        assert pose_weights.shape == (positions.shape[0],)
+
     out = np.zeros(points.shape[0])
     for s in range(0, points.shape[0], chunk):
         q = points[s:s + chunk]          # (m, 3)
@@ -115,6 +162,8 @@ def simulate_spray(points: np.ndarray, normals: np.ndarray,
         flux = (np.exp(-0.5 * (theta / sigma) ** 2)
                 * (r0 / r) ** 2 * incidence)
         flux[theta > cone] = 0.0
+        if pose_weights is not None:
+            flux *= pose_weights[:, None]
         out[s:s + chunk] = flux.sum(axis=0)
     return out
 
@@ -159,7 +208,8 @@ def _auto_sign(positions: np.ndarray, dirs: np.ndarray,
 
 def simulate_program(mesh_path: str, program_path: str,
                      out_path: str | None = None, *,
-                     center: bool = True, **kw) -> np.ndarray:
+                     center: bool = True, per_arclength: bool = False,
+                     **kw) -> np.ndarray:
     """Mesh OBJ + robot program -> per-face-vertex thickness (3F,).
 
     The exported programs live in a frame centered on the object
@@ -168,6 +218,12 @@ def simulate_program(mesh_path: str, program_path: str,
     loader's centering convention (reference ``center_pair`` ->
     ``get_mean_mesh``, utils/pointcloud.py:24-37) — to match. Writes the
     CSV when ``out_path`` is given.
+
+    ``per_arclength=True`` weights each pose's flux by its local dwell
+    (``pose_arclength_weights``): a constant-speed gun model that makes
+    the measured thickness invariant to waypoint density — the default
+    per-pose summation lets a resampling postprocess change its own
+    paint mass (round-5 integrity check, docs/floor_rootcause.md).
     """
     from ..data.io import load_obj, read_traj_file
 
@@ -177,8 +233,12 @@ def simulate_program(mesh_path: str, program_path: str,
     if center:
         verts = verts - verts.mean(axis=0)
 
-    traj, _ = read_traj_file(program_path, extra_data=("orientnorm",))
+    traj, prog_ids = read_traj_file(program_path,
+                                    extra_data=("orientnorm",))
     positions, dirs = traj[:, :3], traj[:, 3:6]
+    if per_arclength:
+        kw = dict(kw)
+        kw["pose_weights"] = pose_arclength_weights(positions, prog_ids)
     dirs = dirs * _auto_sign(
         positions, dirs / np.maximum(
             np.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12),

@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 sys.path.insert(0, os.path.join(REPO, "standalone"))
 
 
-def rescore(rec: dict, extra_flags: list[str], out_subdir: str) -> dict | None:
+def rescore(rec: dict, extra_flags: list[str], out_subdir: str,
+            per_arclength: bool = False,
+            reuse_programs: bool = False) -> dict | None:
     import from_pred_to_offline_v2 as export_tool
     from compute_paint_coverage_per_face import coverage_for_pair
     from maskplanner_tpu.sim import simulate_program
@@ -42,26 +44,29 @@ def rescore(rec: dict, extra_flags: list[str], out_subdir: str) -> dict | None:
 
     t0 = time.time()
     progs = os.path.join(tmp, out_subdir)
-    old_argv = sys.argv
-    sys.argv = (["from_pred_to_offline_v2.py", "--run", run_dir,
-                 "--output_dir", progs, "--model", "last",
-                 "--split", rec["split"], "--postprocess",
-                 "--force_overwrite"] + extra_flags)
-    try:
-        export_tool.main()
-    finally:
-        sys.argv = old_argv
-
     gt_dir = os.path.join(progs, f"gt_{category}")
     pred_dir = os.path.join(progs, f"pred_{category}")
+    if not (reuse_programs and os.path.isdir(pred_dir)):
+        old_argv = sys.argv
+        sys.argv = (["from_pred_to_offline_v2.py", "--run", run_dir,
+                     "--output_dir", progs, "--model", "last",
+                     "--split", rec["split"], "--postprocess",
+                     "--force_overwrite"] + extra_flags)
+        try:
+            export_tool.main()
+        finally:
+            sys.argv = old_argv
+
     per_item, covs = {}, []
     for fname in sorted(os.listdir(gt_dir)):
         name = os.path.splitext(fname)[0]
         mesh = os.path.join(cat_dir, name, f"{name}.obj")
         orig = os.path.join(cat_dir, name, f"{name}_trajectory.txt")
-        truth = simulate_program(mesh, orig).reshape(-1, 3).mean(1)
+        truth = simulate_program(
+            mesh, orig, per_arclength=per_arclength).reshape(-1, 3).mean(1)
         pred = simulate_program(
-            mesh, os.path.join(pred_dir, fname)).reshape(-1, 3).mean(1)
+            mesh, os.path.join(pred_dir, fname),
+            per_arclength=per_arclength).reshape(-1, 3).mean(1)
         p = coverage_for_pair(truth, pred,
                               percentile=rec.get("percentile", 10))
         per_item[name] = round(float(p), 4)
@@ -84,6 +89,12 @@ def main():
         REPO, "docs", "coverage_r5.jsonl"))
     ap.add_argument("--tags", nargs="*", default=None)
     ap.add_argument("--confidence_threshold", type=float, default=None)
+    ap.add_argument("--arclength", action="store_true",
+                    help="score under the constant-speed (per-arc-length)"
+                         " deposition model instead of per-pose; rows "
+                         "get an arclen_ tag prefix")
+    ap.add_argument("--reuse_programs", action="store_true",
+                    help="skip re-export when the programs dir exists")
     args = ap.parse_args()
 
     recs = []
@@ -101,10 +112,15 @@ def main():
         flags += ["--confidence_threshold",
                   str(args.confidence_threshold)]
     for rec in recs:
-        row = rescore(rec, flags, "programs_coverall")
+        row = rescore(rec, flags, "programs_coverall",
+                      per_arclength=args.arclength,
+                      reuse_programs=args.reuse_programs)
         if row is None:
             continue
-        row["tag"] = f"coverall_{rec['tag']}"
+        prefix = "arclen_coverall_" if args.arclength else "coverall_"
+        row["tag"] = f"{prefix}{rec['tag']}"
+        if args.arclength:
+            row["metric"] = "per_arclength"
         if args.confidence_threshold is not None:
             row["confidence_threshold"] = args.confidence_threshold
         with open(args.out, "a") as fh:
