@@ -315,13 +315,21 @@ def main():
     traj_pred_h = np.asarray(out_full.traj, np.float64)
     masks_h = np.asarray(out_full.stroke_masks)
     scores_h = np.asarray(out_full.mask_scores)
-    post_ms = []
+    post_ms, post_ca_ms = [], []
     for _ in range(3):
         t0 = time.perf_counter()
         ids_h = process_pred_stroke_masks_to_stroke_ids(masks_h, scores_h)
         process_stroke_segments(traj_pred_h, ids_h, config)
         post_ms.append((time.perf_counter() - t0) * 1000)
+        # serving default: cover_all (split off-path segments into
+        # sub-strokes instead of dropping them — docs/floor_rootcause.md)
+        t0 = time.perf_counter()
+        ids_h = process_pred_stroke_masks_to_stroke_ids(masks_h, scores_h)
+        process_stroke_segments(traj_pred_h, ids_h, config,
+                                cover_all=True)
+        post_ca_ms.append((time.perf_counter() - t0) * 1000)
     postprocess_ms = min(post_ms)
+    postprocess_coverall_ms = min(post_ca_ms)
 
     # single-sample device compute latency (the reference's wall-clock
     # FPS metric, test_maskplanner.py:253-257, measured without host
@@ -413,6 +421,8 @@ def main():
         "serve_artifact_batch1_ms": round(serve1_ms, 2),
         "serve_artifact_pointclouds_per_sec": round(serve_pcs_per_sec, 2),
         "postprocess_ms_per_sample": round(postprocess_ms, 2),
+        "postprocess_coverall_ms_per_sample":
+            round(postprocess_coverall_ms, 2),
         "mfu": round(mfu, 4) if mfu else None,
         "hbm_bw_util": round(hbm_util, 4) if hbm_util else None,
         "final_train_loss": round(float(loss), 4),

@@ -79,7 +79,10 @@ def run_category(category: str, args) -> dict:
             f"seed={args.seed}", "no_save=false",
             f"output_dir={tmp}",
         ] + (["model.bf16=true"] if args.bf16 else [])
-          + ([f"model.norm={args.norm}"] if args.norm != "batch" else [])
+          # always explicit: the study's rows must record the norm they
+          # ran with, independent of the config default (which round 5
+          # flipped to the hybrid after this study qualified it)
+          + [f"model.norm={args.norm}"]
           + (["augmentations=[pc_online_subsampling]"]
              if getattr(args, "augment", False) else [])
           + list(getattr(args, "overrides", [])))

@@ -36,7 +36,10 @@ DEFAULT = {
     "model": {"backbone": "pointnet2_strokemasks", "affinetrans": False,
               "hidden_size": [1024, 1024], "pretrained": True,
               "pretrained_custom": None, "load_strict": False,
-              "bf16": False},
+              "bf16": False,
+              # round-5 flagship recipe (docs/convergence.md); the
+              # generator keeps the rationale comment in default.yaml
+              "norm": "layer+layer+batch"},
     # loss weights
     "soft_attraction": False,
     "weight_chamfer": 1.0, "weight_attraction_chamfer": 1.0,

@@ -183,7 +183,13 @@ def main(config=None):
 
         pth = config["model"].get("pretrained_path") or os.path.join(
             "pretrained_models", "pointnet2_cls_ssg.pth")
-        if os.path.isfile(pth):
+        enc_norm = config["model"].get("norm") or "batch"
+        if os.path.isfile(pth) and enc_norm != "batch":
+            # the reference blob is a BatchNorm encoder; its running
+            # stats have no target under the hybrid/layer recipes
+            print(f"WARNING: torch encoder warm start ({pth}) requires "
+                  f"model.norm=batch (got {enc_norm!r}); skipping")
+        elif os.path.isfile(pth):
             state, loaded = load_torch_pretrained(pth, state, mode="encoder")
             print(f"Encoder warm-started from {pth} ({len(loaded)} tensors)")
         else:
