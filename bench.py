@@ -388,8 +388,14 @@ def main():
                 # batch 8, not debug's batch 2: measured A/B (r5) shows
                 # the BN-heavy model's loss RISES at batch 2 over 80
                 # epochs (1494->2567; 2-sample batch statistics) while
-                # batch 8 descends (1656->1112) — the health check runs
-                # at the smallest batch whose BN is meaningful
+                # batch 8 descends (1656->1112) — and the REFERENCE's
+                # own implementation reproduces both behaviors on the
+                # identical fixture data (torch CPU: bs=2 975->1996
+                # rising, bs=8 1110->477 descending;
+                # scripts/ref_batch2_check.py) — an inherent property
+                # of the model/loss at batch 2, not an implementation
+                # difference. The health check runs at the smallest
+                # batch whose BN is meaningful
                 "data_scale_factor=800.0", "batch_size=8", "epochs=80",
                 "eval_freq=40", "no_save=false", "skip_rendering=true",
                 f"output_dir={tmp}", "seed=7",
