@@ -27,6 +27,9 @@ def main():
     p.add_argument("--run", required=True)
     p.add_argument("--split", default="test", choices=["train", "test"])
     p.add_argument("--model", default="last")
+    p.add_argument("--cover_all", action="store_true",
+                   help="split off-Edmonds-path segments into sub-strokes "
+                        "instead of dropping them (round-5 coverage fix)")
     args = p.parse_args()
 
     config = load_config(args.run)
@@ -39,7 +42,8 @@ def main():
         ids_pred = process_pred_stroke_masks_to_stroke_ids(
             dump["pred_stroke_masks"], dump["stroke_masks_scores"])
         trajs, ids = process_stroke_segments(dump["traj_pred"], ids_pred,
-                                             config)
+                                             config,
+                                             cover_all=args.cover_all)
         out = {
             "dirnames": dump["dirnames"],
             "traj_pred_postprocessed": np.array(trajs, dtype=object),
